@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, WindingContainsExpr}
+
+/**
+ * Public Column/SQL facade over graft's native Catalyst expressions
+ * (which live under org.apache.spark.sql.graft — see expressions.scala).
+ */
+object GraftFunctions {
+
+  def cell_id(lon: Column, lat: Column, level: Column): Column =
+    ColumnShim.column(CellIdExpr(
+      ColumnShim.expression(lon), ColumnShim.expression(lat), ColumnShim.expression(level)))
+
+  def winding_contains(ring: Column, x: Column, y: Column): Column =
+    ColumnShim.column(WindingContainsExpr(
+      ColumnShim.expression(ring), ColumnShim.expression(x), ColumnShim.expression(y)))
+
+  /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_cell_id"),
+      new ExpressionInfo(classOf[CellIdExpr].getName, "graft_cell_id"),
+      (exprs: Seq[Expression]) => CellIdExpr(exprs(0), exprs(1), exprs(2)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_contains"),
+      new ExpressionInfo(classOf[WindingContainsExpr].getName, "graft_contains"),
+      (exprs: Seq[Expression]) => WindingContainsExpr(exprs(0), exprs(1), exprs(2)))
+  }
+}
