@@ -1,0 +1,93 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over the `embeddings` table (vec_id, embedding float[64],
+ * label).
+ *
+ *  - q40: brute-force cosine top-k — the correctness baseline. Dot products
+ *    via zip_with + aggregate (codegen'd higher-order functions, left-to-right
+ *    accumulation = same order DuckDB evaluates list_dot_product).
+ *  - q41: LSH-bucketed ANN scale path — random-hyperplane signs from
+ *    deterministic seeded planes bucket the vectors; candidates only join
+ *    within a bucket. Output = per-bucket stats (the recall-vs-brute-force
+ *    property is asserted in ScalaTest; bucket contents are the oracle here).
+ *
+ * Only ranks are emitted (not raw cosines) so last-ulp float differences
+ * can't flip a hash compare; rank ties are broken by vec_id.
+ */
+object AnnQueries {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_bruteforce" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val qs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"v".as("qv"))
+        .withColumn("qn", sqrt(dot($"qv", $"qv")))
+      val cand = emb.withColumn("vn", sqrt(dot($"v", $"v")))
+      val scored = cand.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter($"rnk" <= 3)
+        .select($"qid", $"rnk", $"vec_id")
+        .orderBy($"qid", $"rnk")
+    },
+
+    "q41_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      // 8 deterministic pseudo-hyperplanes: plane p, dim d has weight
+      // ((p*131 + d*31) % 17) - 8  (integer ladder — exactly replayable in
+      // SQL, no RNG). sign bit = (w . v) >= 0 ; bucket = 8-bit signature.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val planes = (0 until 8).map { pl =>
+        val proj = aggregate(
+          zip_with($"v", sequence(lit(0), lit(63)),
+            (x, d) => x * (((lit(pl) * 131 + d * 31) % 17) - 8).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0.0, 1L << pl).otherwise(0L)
+      }
+      emb.withColumn("bucket", planes.reduce(_ + _))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"))
+        .orderBy($"bucket")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q40_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        |  FROM e WHERE vec_id < 10),
+        |c AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_dot_product(q.qv, e.v) / (q.qn * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM c)
+        |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q41_lsh_buckets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+  |  SELECT vec_id,
+         |         CAST(${(0 until 8).map { pl =>
+               s"""(CASE WHEN list_dot_product(v, (SELECT LIST(CAST(((($pl * 131 + d * 31) % 17) - 8) AS DOUBLE) ORDER BY d) FROM generate_series(0, 63) t(d))) >= 0.0 THEN ${1L << pl} ELSE 0 END)"""
+             }.mkString(" + \n         ")} AS BIGINT) AS bucket
+         |  FROM e)
+         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Raster-semantics operators expressed as relational/array transforms, each
+ * SQL-checkable against DuckDB (the dense per-tile mapPartitions kernels with
+ * reference-quirk parity live in graft.raster and are golden-tested in
+ * ScalaTest instead):
+ *
+ *  - q20: band-mix reductions across a bands array (A1, BandMixing.java:5-33)
+ *  - q21: SUBSTITUTE merge = last-write-wins by (ts, id) (A2/W1,
+ *         StacResource.java:467-479) with the deterministic item-id tiebreak
+ *  - q22: SUM merge + nodata chain + coverage stats (A2/A3/P2,
+ *         RasterEncoder.java:160-171, Geotools.java:307-353)
+ *  - q23: padding join — full grid left-joined with fetched cells (J5,
+ *         WCSAdapter.java:344-365)
+ *  - q24: nearest-neighbor resample as pure affine arithmetic (J3/W2,
+ *         RasterEncoder.java:361-390)
+ */
+object RasterQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_bandmix" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("bands", array($"l_quantity", $"l_discount" * 100, $"l_linenumber".cast("double")))
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          aggregate($"bands", lit(0.0), (acc, x) => acc + x).as("band_sum"),
+          array_max($"bands").as("band_max"),
+          array_min($"bands").as("band_min"),
+          round(aggregate($"bands", lit(0.0), (acc, x) => acc + x) / 3.0, 6).as("band_avg"),
+          (array_position($"bands", array_max($"bands")) - 1).as("argmax_band"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    "q21_merge_substitute" -> { (s, dir) =>
+      import s.implicits._
+      // last-write-wins per cell (user_id as the cell key), ordered by
+      // (ts, event_id) — the deterministic restatement of SUBSTITUTE merge
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ms", unix_millis($"ts".cast("timestamp")))
+        .groupBy($"user_id")
+        .agg(
+          max_by($"event_id", struct($"ms", $"event_id")).as("last_event_id"),
+          max_by($"value", struct($"ms", $"event_id")).as("last_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    "q22_merge_sum_stats" -> { (s, dir) =>
+      import s.implicits._
+      // nodata chain: magnitude guard maps "out of range" values to nodata
+      // (NULL in the relational restatement; NaN inside dense tiles)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("v", when($"value" <= 180.0, $"value"))
+        .groupBy($"event_type")
+        .agg(
+          sum(round($"v" * 100, 0).cast("bigint")).as("sum_cents"),
+          count($"v").as("n_data"),
+          (count(lit(1)) - count($"v")).as("n_nodata"),
+          min($"v").as("vmin"),
+          max($"v").as("vmax"))
+        .orderBy($"event_type")
+    },
+
+    "q23_padding_join" -> { (s, dir) =>
+      import s.implicits._
+      // requested region = full 60x40 grid; received cells = sparse events
+      // projection; pad the difference with nodata (NULL)
+      val grid = s.range(1).select(explode(sequence(lit(0L), lit(59L))).as("gx"))
+        .crossJoin(s.range(1).select(explode(sequence(lit(0L), lit(39L))).as("gy")))
+      val fetched = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("gx", $"event_id" * 31 % 60)
+        .withColumn("gy", $"event_id" * 17 % 40)
+        .groupBy($"gx", $"gy")
+        .agg(max_by($"value", $"event_id").as("v"), count(lit(1)).as("n_src"))
+      grid.join(fetched, Seq("gx", "gy"), "left")
+        .select($"gx", $"gy", $"v", coalesce($"n_src", lit(0L)).as("n_src"),
+                $"v".isNotNull.as("filled"))
+        .orderBy($"gx", $"gy")
+    },
+
+    "q24_resample_nearest" -> { (s, dir) =>
+      import s.implicits._
+      // virtual source raster 934x631 with v(sx,sy) = ((sx*31+sy*17)%997)/10.0
+      // resampled onto a 100x80 target over the same bbox: pure grid affine,
+      // target cell center -> source cell (nearest kernel)
+      val _ = dir // source is synthesized; scale-independent golden
+      val target = s.range(1).select(explode(sequence(lit(0L), lit(99L))).as("tx"))
+        .crossJoin(s.range(1).select(explode(sequence(lit(0L), lit(79L))).as("ty")))
+      target
+        .withColumn("sx", floor(($"tx" + 0.5) / 100.0 * 934.0).cast("long"))
+        .withColumn("sy", floor(($"ty" + 0.5) / 80.0 * 631.0).cast("long"))
+        .withColumn("v", (($"sx" * 31 + $"sy" * 17) % 997).cast("double") / 10.0)
+        .select($"tx", $"ty", $"sx", $"sy", $"v")
+        .orderBy($"tx", $"ty")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q20_bandmix" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_quantity AS b1, l_discount * 100 AS b2, CAST(l_linenumber AS DOUBLE) AS b3
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       0.0 + b1 + b2 + b3 AS band_sum,
+        |       GREATEST(b1, b2, b3) AS band_max,
+        |       LEAST(b1, b2, b3) AS band_min,
+        |       ROUND((0.0 + b1 + b2 + b3) / 3.0, 6) AS band_avg,
+        |       CASE WHEN b1 >= b2 AND b1 >= b3 THEN 0
+        |            WHEN b2 >= b3 THEN 1 ELSE 2 END :: BIGINT AS argmax_band
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q21_merge_substitute" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, value AS last_value, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q22_merge_sum_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, CASE WHEN value <= 180.0 THEN value END AS v FROM events)
+        |SELECT event_type,
+        |       CAST(SUM(CAST(ROUND(v * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       COUNT(v) AS n_data,
+        |       COUNT(*) - COUNT(v) AS n_nodata,
+        |       MIN(v) AS vmin,
+        |       MAX(v) AS vmax
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_padding_join" ->
+      """WITH grid AS (
+        |  SELECT gx.gx, gy.gy FROM generate_series(0, 59) gx(gx), generate_series(0, 39) gy(gy)),
+        |fetched AS (
+        |  SELECT event_id * 31 % 60 AS gx, event_id * 17 % 40 AS gy,
+        |         arg_max(value, event_id) AS v, COUNT(*) AS n_src
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.gx, g.gy, f.v, COALESCE(f.n_src, 0) AS n_src, f.v IS NOT NULL AS filled
+        |FROM grid g LEFT JOIN fetched f ON g.gx = f.gx AND g.gy = f.gy
+        |ORDER BY g.gx, g.gy""".stripMargin,
+
+    "q24_resample_nearest" ->
+      """WITH t AS (
+        |  SELECT tx.tx, ty.ty FROM generate_series(0, 99) tx(tx), generate_series(0, 79) ty(ty)),
+        |m AS (
+        |  SELECT tx, ty,
+        |         CAST(FLOOR((tx + 0.5) / 100.0 * 934.0) AS BIGINT) AS sx,
+        |         CAST(FLOOR((ty + 0.5) / 80.0 * 631.0) AS BIGINT) AS sy
+        |  FROM t)
+        |SELECT tx, ty, sx, sy, CAST((sx * 31 + sy * 17) % 997 AS DOUBLE) / 10.0 AS v
+        |FROM m ORDER BY tx, ty""".stripMargin)
+}

@@ -1,0 +1,131 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Relational engine surface: aggregation, multi-way broadcast join, window,
+ * top-k, set ops, JSON navigation (reference F6 analog,
+ * adapters/stac/StacParser.java:72-100).
+ *
+ * Determinism discipline for the DuckDB oracle: money sums go through
+ * integer cents (`CAST(ROUND(x*100, 0) AS BIGINT)`) so sums are exact and
+ * order-independent; ratios are rounded after identical-order IEEE math.
+ */
+object RelationalQueries {
+
+  private def p(dir: String, t: String) = s"$dir/$t.parquet"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "lineitem"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          // round-then-cast: DuckDB's double->bigint cast rounds while
+          // Spark's truncates, so normalize through ROUND(x, 0) first
+          sum(round($"l_quantity", 0).cast("bigint")).as("sum_qty"),
+          sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0).cast("bigint"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", round($"sum_qty".cast("double") / $"n_rows", 6))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    "q02_region_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val orders = s.read.parquet(p(dir, "orders"))
+      val cust = s.read.parquet(p(dir, "customer"))
+      val nation = s.read.parquet(p(dir, "nation"))
+      val region = s.read.parquet(p(dir, "region"))
+      orders
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          sum(round($"o_totalprice" * 100, 0).cast("bigint")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"r_name")
+    },
+
+    "q03_top_orders_per_segment" -> { (s, dir) =>
+      import s.implicits._
+      val orders = s.read.parquet(p(dir, "orders"))
+      val cust = s.read.parquet(p(dir, "customer"))
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter($"rnk" <= 3)
+        .select($"c_mktsegment", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"c_mktsegment", $"rnk")
+    },
+
+    "q04_top100_orders" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "orders"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    "q05_priority_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val orders = s.read.parquet(p(dir, "orders"))
+      orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        .intersect(orders.filter($"o_orderpriority" === "5-LOW").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    },
+
+    "q06_json_props" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "events"))
+        .withColumn("k", get_json_object($"props", "$.k").cast("bigint"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count($"k").as("n"))
+        .orderBy($"event_type")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_rows,
+        |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_region_revenue" ->
+      """SELECT r_name,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_top_orders_per_segment" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q04_top100_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q05_priority_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q06_json_props" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       COUNT(json_extract_string(props, '$.k')) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions
+import graft.index.CellIndex
+
+/**
+ * Spatial join operators: cell-cover prefilter equi-join + exact refine.
+ *
+ * Reference semantics: item-vs-region spatial intersection selection
+ * (adapters/stac/StacEngine.java:154-162, StacResource.java:316-321) — the
+ * reference pushes the bbox filter to a server; at 10^12-row scale we instead
+ * index both sides with hierarchical Z-order cells and equi-join on cell id,
+ * then refine exactly (winding-number PIP), so Catalyst plans a standard
+ * broadcast/sort-merge hash join whose keys are longs.
+ *
+ * Scale notes:
+ *  - the polygon side is exploded to its cell cover once (N_cells(zone) rows),
+ *    the point side computes one codegen'd cell id per row — no theta join;
+ *  - a point has exactly one cell at a level, so PIP results need no distinct;
+ *  - small polygon sides get a broadcast hint; large ones go sort-merge on the
+ *    long key, AQE handles residual skew (salting hook: raise `level` so hot
+ *    cells split — the hierarchical index is its own salt).
+ */
+object SpatialJoin {
+
+  /** UDF: flat-ring triangle/polygon -> cell cover at a level (bbox cells
+    * refined by JTS intersects). Runs once per polygon, not per row. */
+  private val coverRingUdf = udf { (ring: Seq[Double], level: Int) =>
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val n = ring.length / 2
+    val coords = new Array[org.locationtech.jts.geom.Coordinate](n + 1)
+    var i = 0
+    while (i < n) {
+      coords(i) = new org.locationtech.jts.geom.Coordinate(ring(2 * i), ring(2 * i + 1)); i += 1
+    }
+    coords(n) = coords(0)
+    CellIndex.coverGeometry(gf.createPolygon(coords), level)
+  }
+
+  /**
+   * Points-in-polygons join.
+   * @param points  (lon, lat, …carry-through columns)
+   * @param zones   (ring: array<double> flat [x0,y0,...], …carry-through)
+   * @param level   cell level of the prefilter (planner picks from zone size;
+   *                higher = finer cover = fewer false candidates)
+   * @param broadcastZones hint when the exploded zone-cell side is small
+   */
+  def pointsInZones(points: DataFrame, zones: DataFrame, level: Int,
+                    broadcastZones: Boolean = true): DataFrame = {
+    val zoneCells = zones
+      .withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
+    val zc = if (broadcastZones) broadcast(zoneCells) else zoneCells
+    val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
+    pts.join(zc, "cell")
+      .filter(GraftFunctions.winding_contains(col("ring"), col("lon"), col("lat")))
+      .drop("cell", "ring")
+  }
+
+  /**
+   * Exact kNN join by iterative cell-ring expansion (SURVEY.md §2.5 note).
+   *
+   * Each round r joins points whose cell lies in the queries' Chebyshev
+   * disk(r) and keeps the best k per query; a query is settled once its kth
+   * distance is provably inside the guaranteed-covered radius
+   * (r-1)*cellMin — then no point outside disk(r) can beat it. Unsettled
+   * queries double r. The query side stays tiny (broadcast of exploded disk
+   * cells); the point side is touched once per round through a hash join on
+   * the long cell key — no cross join at any scale.
+   *
+   * @param points  (id, lon, lat)
+   * @param queries (qid, qx, qy) — small side
+   * @return (qid, rank, id, dist2) exact k nearest by squared euclidean
+   *         (lon/lat planar), ties broken by id.
+   */
+  def knnJoin(points: DataFrame, queries: DataFrame, k: Int, level: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val cellMin = math.min(360.0, 180.0) / (1L << level)  // degrees per cell (lat axis)
+    val pts = points
+      .withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
+      .persist()
+    pts.count() // materialize once; reused every round
+
+    val diskUdf = udf { (qx: Double, qy: Double, r: Int) =>
+      CellIndex.disk(CellIndex.cellId(qx, qy, level), r)
+    }
+
+    // Rounds double r; past maxRing the fallback is a full scan of the
+    // remaining queries (rare: only queries in near-empty regions get there).
+    // Each round localCheckpoints its outputs — without this the `remaining`
+    // lineage embeds the previous round's plan twice and grows exponentially.
+    val maxRing = 64
+    var remaining = queries.select($"qid", $"qx", $"qy").localCheckpoint(true)
+    val settledParts = Seq.newBuilder[DataFrame]
+    var r = 1
+    var continue = remaining.limit(1).count() > 0
+    while (continue) {
+      val lastRound = r > maxRing
+      val cand = (if (lastRound) pts.crossJoin(broadcast(remaining))
+                  else pts.join(
+                    broadcast(remaining.withColumn("cell", explode(diskUdf($"qx", $"qy", lit(r))))),
+                    Seq("cell")))
+        .withColumn("dist2",
+          ($"lon" - $"qx") * ($"lon" - $"qx") + ($"lat" - $"qy") * ($"lat" - $"qy"))
+      val w = Window.partitionBy($"qid").orderBy($"dist2", $"id")
+      val topk = cand
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter($"rank" <= k)
+        .select($"qid", $"rank", $"id", $"dist2")
+        .localCheckpoint(true)
+      if (lastRound) {
+        settledParts += topk
+        continue = false
+      } else {
+        // settled iff the kth distance is provably inside the covered radius
+        val guaranteed = (r - 1).toDouble * cellMin
+        val done = topk.groupBy($"qid")
+          .agg(count(lit(1)).as("n"), max($"dist2").as("worst"))
+          .filter($"n" === k && $"worst" <= lit(guaranteed * guaranteed))
+          .select($"qid")
+        settledParts += topk.join(broadcast(done), "qid")
+        remaining = remaining.join(broadcast(done), Seq("qid"), "left_anti")
+          .localCheckpoint(true)
+        continue = remaining.limit(1).count() > 0
+        r *= 2
+      }
+    }
+    pts.unpersist()
+    val parts = settledParts.result()
+    if (parts.isEmpty) spark.emptyDataFrame else parts.reduce(_ unionByName _)
+  }
+}
