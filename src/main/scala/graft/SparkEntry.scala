@@ -16,16 +16,16 @@ import graft.api._
   */
 object SparkEntry {
 
-  /** Flagship: the minimum end-to-end slice of SURVEY.md §7.2 — extract doc
-    * points, cell-index them, spatial-join against zones, assign tiles. */
+  /** Flagship: the end-to-end slice of SURVEY.md §7.2 — interleaved docs ->
+    * geo-span extraction -> cell-indexed PIP join -> tile assignment. */
   def entry(spark: SparkSession): DataFrame =
-    SpatialQueries.queries("q12_pip_join")(spark, "/root/testdata/sf0.001")
+    DocQueries.queries("q16_docs_pip")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SpatialQueries.queries ++ RasterQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ DocQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ SpatialQueries.oracle ++ RasterQueries.oracle ++
-      TextQueries.oracle ++ AnnQueries.oracle
+      TextQueries.oracle ++ AnnQueries.oracle ++ DocQueries.oracle
 }

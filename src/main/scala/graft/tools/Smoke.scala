@@ -51,6 +51,19 @@ object Smoke {
     val n = cells.filter($"cell".isNotNull).count()
     println(s"rows_with_cell=$n")
 
+    println("== flagship entry (interleaved docs -> PIP) ==")
+    val e = graft.SparkEntry.entry(spark)
+    println(s"entry_rows=${e.count()}")
+    e.show(3, truncate = false)
+
+    println("== probe: interleaved docs on edge-case texts ==")
+    val edgeDir = "/tmp/graft_edge"
+    Seq((0L, "", "xx", "s", 0L), (1L, "one", "xx", "s", 3L),
+        (2L, "a  b", "xx", "s", 4L), (3L, "t1 t2 t3 t4 t5 t6", "xx", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$edgeDir/documents.parquet")
+    graft.extract.InterleavedDocs.flatSpans(spark, edgeDir).show(20, truncate = false)
+
     println("== probes: null propagation, level clamp, degenerate ring ==")
     spark.sql(
       """SELECT graft_cell_id(CAST(NULL AS DOUBLE), 1.0D, 12)  AS null_lon,
