@@ -83,6 +83,14 @@ object RasterQueries {
         .orderBy($"gx", $"gy")
     },
 
+    "q25_mosaic_substitute_grid" -> { (s, dir) =>
+      mosaicQuery(s, dir, graft.raster.Mosaic.Substitute)
+    },
+
+    "q26_mosaic_sum_grid" -> { (s, dir) =>
+      mosaicQuery(s, dir, graft.raster.Mosaic.Sum)
+    },
+
     "q24_resample_nearest" -> { (s, dir) =>
       import s.implicits._
       // virtual source raster 934x631 with v(sx,sy) = ((sx*31+sy*17)%997)/10.0
@@ -99,7 +107,62 @@ object RasterQueries {
         .orderBy($"tx", $"ty")
     })
 
+  /**
+   * The distributed raster mosaic (Mosaic.mergeToTiles) driven end-to-end:
+   * 25 synthetic items (one per nation key k; 30x20 cells at unit resolution,
+   * origin (3k, 2k), value k*1000 + (sx*31+sy*17)%97, ts=k) merged onto a
+   * 100x80 region split into <=2000-cell tiles, then exploded back to
+   * (cx, cy, cell_idx, v) rows. Nearest resample on aligned unit grids is
+   * exact integer arithmetic, so DuckDB replays it with generate_series.
+   */
+  private def mosaicQuery(s: SparkSession, dir: String,
+                          mode: graft.raster.Mosaic.MergeMode): DataFrame = {
+    import s.implicits._
+    import graft.model.{Raster, TileGeometry}
+    val items = s.read.parquet(s"$dir/nation.parquet")
+      .select($"n_nationkey".cast("long")).as[Long].map { k =>
+        val w = 30; val h = 20
+        Raster(f"item-$k%03d", k, w, h,
+               k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
+               Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+      }
+    val region = TileGeometry(100, 80, 0.0, 100.0, 0.0, 80.0, 4326, 0L, 0L)
+    graft.raster.Mosaic.mergeToTiles(items, region, mode, maxCells = 2000L)
+      .flatMap { r =>
+        val x0 = math.round(r.minX).toInt; val y0 = math.round(r.minY).toInt
+        val vs = r.bands.head
+        for { x <- 0 until r.width; y <- 0 until r.height } yield
+          (x0 + x.toLong, y0 + y.toLong,
+           if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+           else Some(vs(x * r.height + y)))
+      }
+      .toDF("cx", "cy", "v")
+      .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+      .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+      .orderBy(col("cx"), col("cy"))
+  }
+
+  private def mosaicOracle(agg: String): String =
+    s"""WITH cells AS (
+       |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+       |contrib AS (
+       |  SELECT c.cx, c.cy, CAST(n_nationkey AS BIGINT) AS k,
+       |         CAST(CAST(n_nationkey AS BIGINT) * 1000
+       |           + ((c.cx - CAST(n_nationkey AS BIGINT) * 3) * 31
+       |            + (c.cy - CAST(n_nationkey AS BIGINT) * 2) * 17) % 97 AS DOUBLE) AS v
+       |  FROM cells c, nation
+       |  WHERE c.cx >= CAST(n_nationkey AS BIGINT) * 3
+       |    AND c.cx <  CAST(n_nationkey AS BIGINT) * 3 + 30
+       |    AND c.cy >= CAST(n_nationkey AS BIGINT) * 2
+       |    AND c.cy <  CAST(n_nationkey AS BIGINT) * 2 + 20),
+       |m AS (SELECT cx, cy, $agg AS v FROM contrib GROUP BY 1, 2)
+       |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
+       |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+       |ORDER BY c.cx, c.cy""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
+    "q26_mosaic_sum_grid" -> mosaicOracle("SUM(v)"),
     "q20_bandmix" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,

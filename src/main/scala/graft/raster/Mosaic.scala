@@ -1,0 +1,106 @@
+package graft.raster
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+import graft.model.{Raster, TileGeometry}
+
+/**
+ * Distributed mosaic merge (J4/A2): N overlapping raster items -> one value
+ * grid per target tile, reproducing StacResource.readRasterBandOnRegion +
+ * getCoverage semantics (StacResource.java:415-437) as deterministic Spark
+ * transforms.
+ *
+ * Merge modes (StacEngine.java:146 vs StacResource.java:329):
+ *  - SUM: cell-wise NaN-skipping sum of all contributing items;
+ *  - SUBSTITUTE: last-write-wins. The reference *intends* order by item
+ *    timestamp (sort is live in StacEngine.java:243-245 but commented out in
+ *    the StacResource path :336-338, which substitutes in irreproducible
+ *    server order) — this engine makes last-by-(ts, item_id) the
+ *    deterministic semantics (SURVEY.md §7.4.2), so N vs 4N partitions give
+ *    identical grids.
+ *
+ * Distribution shape: target tiles are broadcast (a region split into <=1M
+ * cell tiles is a small list); items are range-joined to the tiles they
+ * intersect (flatMap -> (tileIdx, item)), then groupByKey(tileIdx) merges
+ * each tile's fragment list in one reduce — the only shuffle moves each item
+ * once per intersecting tile, never the dense target grid.
+ */
+object Mosaic {
+
+  sealed trait MergeMode
+  case object Sum extends MergeMode
+  case object Substitute extends MergeMode
+
+  /** Split a region into column-major tiles of <= maxCells cells each
+    * (the reference's minSizeForSplitting rule, WCSAdapter.java:60-61). */
+  def splitTiles(region: TileGeometry, maxCells: Long = 1000000L): Seq[TileGeometry] = {
+    val side = math.max(1, math.sqrt(maxCells.toDouble).toInt)
+    val nx = (region.width + side - 1) / side
+    val ny = (region.height + side - 1) / side
+    for {
+      tx <- 0 until nx
+      ty <- 0 until ny
+    } yield {
+      val x0 = tx * side; val x1 = math.min(region.width, x0 + side)
+      val y0 = ty * side; val y1 = math.min(region.height, y0 + side)
+      TileGeometry(
+        x1 - x0, y1 - y0,
+        region.minX + x0 * region.cellWidth, region.minX + x1 * region.cellWidth,
+        region.minY + y0 * region.cellHeight, region.minY + y1 * region.cellHeight,
+        region.epsg, region.t0, region.t1)
+    }
+  }
+
+  /** One merged Raster per target tile. Tiles with no intersecting item are
+    * still emitted, nodata-filled (padding semantics J5). */
+  def mergeToTiles(items: Dataset[Raster], region: TileGeometry, mode: MergeMode,
+                   kernel: Resample.Kernel = Resample.Nearest,
+                   maxCells: Long = 1000000L): Dataset[Raster] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+
+    val tiles = splitTiles(region, maxCells)
+    val tilesB = spark.sparkContext.broadcast(tiles.toArray)
+    // apron: 2 source cells (bicubic support) expressed in world units of the
+    // item's own resolution, applied on the tile bbox intersection test
+    val assigned = items.flatMap { r =>
+      val ax = 2 * r.geom.cellWidth; val ay = 2 * r.geom.cellHeight
+      tilesB.value.zipWithIndex.collect {
+        case (t, i)
+            if r.minX < t.maxX + ax && r.maxX > t.minX - ax &&
+               r.minY < t.maxY + ay && r.maxY > t.minY - ay => (i, r)
+      }
+    }
+
+    val emptyTiles = spark.createDataset(tiles.zipWithIndex.map(_._2))
+      .map(i => (i, null.asInstanceOf[Raster]))
+
+    assigned.union(emptyTiles)
+      .groupByKey(_._1)
+      .mapGroups { (tileIdx, rows) =>
+        val t = tilesB.value(tileIdx)
+        val frags = rows.map(_._2).filter(_ != null).toArray
+        // determinism: sort by (ts, item_id) so SUBSTITUTE's later items win
+        // independently of shuffle arrival order
+        val sorted = frags.sortBy(r => (r.ts, r.item_id))
+        val acc = Array.fill(t.width * t.height)(Double.NaN)
+        sorted.foreach { r =>
+          val vals = Resample.toGrid(r, t, kernel)
+          var i = 0
+          while (i < acc.length) {
+            val v = vals(i)
+            if (!java.lang.Double.isNaN(v)) {
+              mode match {
+                case Substitute => acc(i) = v
+                case Sum        => acc(i) = if (java.lang.Double.isNaN(acc(i))) v else acc(i) + v
+              }
+            }
+            i += 1
+          }
+        }
+        Raster(s"tile-$tileIdx", 0L, t.width, t.height,
+               t.minX, t.maxX, t.minY, t.maxY, t.epsg, Seq(acc))
+      }
+  }
+}
