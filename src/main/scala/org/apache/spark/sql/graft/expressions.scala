@@ -7,6 +7,33 @@ import org.apache.spark.sql.types._
 
 import graft.index.CellIndex
 
+/** Allocation-free kernels over Catalyst ArrayData — called from generated
+  * code. Copying the ring to Array[Double] per candidate row (toDoubleArray)
+  * costs an allocation in the join's innermost loop; at 10^8+ rows/s across
+  * 32 threads that allocation wall dominates, so the winding test reads the
+  * UnsafeArrayData in place. */
+object GeoKernels {
+  def windingContains(ring: ArrayData, px: Double, py: Double): Boolean = {
+    val n = ring.numElements() / 2
+    if (n < 3) return false
+    var wn = 0
+    var i = 0
+    while (i < n) {
+      val x1 = ring.getDouble(2 * i); val y1 = ring.getDouble(2 * i + 1)
+      val j = if (i == n - 1) 0 else i + 1
+      val x2 = ring.getDouble(2 * j); val y2 = ring.getDouble(2 * j + 1)
+      val cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+      if (cross == 0.0 &&
+          px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+          py >= math.min(y1, y2) && py <= math.max(y1, y2)) return true
+      if (y1 <= py) { if (y2 > py && cross > 0) wn += 1 }
+      else          { if (y2 <= py && cross < 0) wn -= 1 }
+      i += 1
+    }
+    wn != 0
+  }
+}
+
 /**
  * graft_cell_id(lon, lat, level) → long
  *
@@ -54,13 +81,13 @@ case class WindingContainsExpr(first: Expression, second: Expression, third: Exp
   override def prettyName: String = "graft_contains"
 
   override protected def nullSafeEval(ring: Any, x: Any, y: Any): Any =
-    CellIndex.windingContains(
-      ring.asInstanceOf[ArrayData].toDoubleArray(),
+    GeoKernels.windingContains(
+      ring.asInstanceOf[ArrayData],
       x.asInstanceOf[Double], y.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (ring, x, y) =>
-      s"graft.index.CellIndex.windingContains($ring.toDoubleArray(), $x, $y)")
+      s"org.apache.spark.sql.graft.GeoKernels.windingContains($ring, $x, $y)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): WindingContainsExpr =
