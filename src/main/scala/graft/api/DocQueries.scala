@@ -33,6 +33,29 @@ object DocQueries {
         .orderBy($"doc_id", $"span_idx", $"zone_id")
     },
 
+    // resumable tile materialization: geo spans written per-tile with
+    // lineage commit records (the Iceberg-standin catalog); the output IS
+    // the lineage log, so the oracle checks per-tile rows + the fact that a
+    // second run over the same table is a pure no-op (skips everything)
+    "q18_lineage_tiles" -> { (s, dir) =>
+      import s.implicits._
+      import graft.lineage.TileLineage
+      import Geo._
+      val tiled = InterleavedDocs.geoPoints(s, dir)
+        .withColumn("cx", floor(($"lon" - lit(minX)) / ((lit(maxX) - lit(minX)) / 934.0)).cast("long"))
+        .withColumn("cy", floor(($"lat" - lit(minY)) / ((lit(maxY) - lit(minY)) / 631.0)).cast("long"))
+        .withColumn("tile_id",
+          concat(lit("t"), (floor($"cx" / 64.0) * 100 + floor($"cy" / 64.0)).cast("long").cast("string")))
+        .select($"doc_id", $"span_idx", $"tile_id")
+      val tableDir = java.nio.file.Files.createTempDirectory("graft_q18").toString
+      TileLineage.runResumable(s, tiled, tableDir)
+      val second = TileLineage.runResumable(s, tiled, tableDir, attempt = 2)
+      require(second.tilesWritten == 0, s"resume was not a no-op: $second")
+      TileLineage.lineage(s, tableDir)
+        .select($"tile_id", $"rows")
+        .orderBy($"tile_id")
+    },
+
     // tile assignment of every geo span on the canonical grid (D2_XY index)
     "q17_span_tiles" -> { (s, dir) =>
       import s.implicits._
@@ -69,6 +92,17 @@ object DocQueries {
          |  AND ((z.cx2 - z.bx) * (p.lat - z.by) - (p.lon - z.bx) * (z.cy2 - z.by)) >= 0
          |  AND ((z.ax - z.cx2) * (p.lat - z.cy2) - (p.lon - z.cx2) * (z.ay - z.cy2)) >= 0
          |ORDER BY doc_id, span_idx, zone_id""".stripMargin,
+
+    "q18_lineage_tiles" ->
+      s"""WITH ${InterleavedDocs.flatSpansSqlCte},
+         |$geoPtsCte,
+         |tiled AS (
+         |  SELECT concat('t', CAST(CAST(
+         |           FLOOR(CAST(FLOOR((lon - ${Geo.MinX}) / ((${Geo.MaxX} - ${Geo.MinX}) / 934.0)) AS BIGINT) / 64.0) * 100
+         |           + FLOOR(CAST(FLOOR((lat - ${Geo.MinY}) / ((${Geo.MaxY} - ${Geo.MinY}) / 631.0)) AS BIGINT) / 64.0)
+         |         AS BIGINT) AS VARCHAR)) AS tile_id
+         |  FROM geo_pts)
+         |SELECT tile_id, COUNT(*) AS rows FROM tiled GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q17_span_tiles" ->
       s"""WITH ${InterleavedDocs.flatSpansSqlCte},
