@@ -83,6 +83,46 @@ object RasterQueries {
         .orderBy($"gx", $"gy")
     },
 
+    // value histogram (A4, Renderer.java:142-173 recovered intent):
+    // fixed-width buckets over the value plane
+    "q27_histogram" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", floor($"o_totalprice" / 50000.0).cast("bigint"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+             min($"o_totalprice").as("lo"),
+             max($"o_totalprice").as("hi"))
+        .orderBy($"bucket")
+    },
+
+    // per-cell transform expression (P3, RasterEncoder.java:115-130): the
+    // Groovy-script replacement compiled to a Catalyst Column at plan time,
+    // applied only to data values (nodata passes through)
+    "q28_transform_expr" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TransformExpr
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("v", when($"value" <= 400.0, $"value").otherwise(lit(Double.NaN)))
+        .withColumn("t", TransformExpr.column("(self * 2 + 1 - abs(self - 100)) / 4", $"v"))
+        .select($"event_id", when(isnan($"t"), lit(null)).otherwise($"t").as("t"))
+        .orderBy($"event_id")
+    },
+
+    // categorical encode through a DataKey dictionary (P4,
+    // Geotools.java:347-353): codes = sorted distinct labels
+    "q29_datakey_encode" -> { (s, dir) =>
+      import s.implicits._
+      import graft.raster.DataKey
+      val labels = s.read.parquet(s"$dir/customer.parquet")
+        .select($"c_mktsegment").distinct().as[String].collect().toSeq
+      val key = DataKey.fromLabels(labels)
+      s.read.parquet(s"$dir/customer.parquet")
+        .select($"c_custkey",
+                DataKey.encodeConcept(key)($"c_mktsegment").cast("bigint").as("code"))
+        .orderBy($"c_custkey")
+    },
+
     "q25_mosaic_substitute_grid" -> { (s, dir) =>
       mosaicQuery(s, dir, graft.raster.Mosaic.Substitute)
     },
@@ -161,6 +201,26 @@ object RasterQueries {
        |ORDER BY c.cx, c.cy""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q27_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q28_transform_expr" ->
+      """WITH e AS (
+        |  SELECT event_id, CASE WHEN value <= 400.0 THEN value END AS v FROM events)
+        |SELECT event_id, (v * 2 + 1 - abs(v - 100)) / 4 AS t
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "q29_datakey_encode" ->
+      """WITH key AS (
+        |  SELECT c_mktsegment AS label,
+        |         ROW_NUMBER() OVER (ORDER BY c_mktsegment) - 1 AS code
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c_custkey, CAST(k.code AS BIGINT) AS code
+        |FROM customer c JOIN key k ON c.c_mktsegment = k.label
+        |ORDER BY c_custkey""".stripMargin,
+
     "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
     "q26_mosaic_sum_grid" -> mosaicOracle("SUM(v)"),
     "q20_bandmix" ->
