@@ -24,6 +24,23 @@ object AnnQueries {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** 8 deterministic pseudo-hyperplanes: plane p, dim d has weight
+    * ((p*131 + d*31) % 17) - 8 (integer ladder — exactly replayable in SQL,
+    * no RNG). sign bit = (w . v) >= 0 ; bucket = 8-bit signature. */
+  private def bucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { pl =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)),
+          (x, d) => x * (((lit(pl) * 131 + d * 31) % 17) - 8).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0.0, 1L << pl).otherwise(0L)
+    }.reduce(_ + _)
+
+  private val bucketSql: String =
+    s"""CAST(${(0 until 8).map { pl =>
+      s"""(CASE WHEN list_dot_product(v, (SELECT LIST(CAST(((($pl * 131 + d * 31) % 17) - 8) AS DOUBLE) ORDER BY d) FROM generate_series(0, 63) t(d))) >= 0.0 THEN ${1L << pl} ELSE 0 END)"""
+    }.mkString(" + ")} AS BIGINT)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_bruteforce" -> { (s, dir) =>
       import s.implicits._
@@ -43,21 +60,29 @@ object AnnQueries {
         .orderBy($"qid", $"rnk")
     },
 
-    "q41_lsh_buckets" -> { (s, dir) =>
+    // embedding-cosine near-dup, LSH-bucketed (the scale path): candidate
+    // pairs only within an 8-bit hyperplane-sign bucket, then exact cosine
+    "q42_neardup_embedding" -> { (s, dir) =>
       import s.implicits._
-      // 8 deterministic pseudo-hyperplanes: plane p, dim d has weight
-      // ((p*131 + d*31) % 17) - 8  (integer ladder — exactly replayable in
-      // SQL, no RNG). sign bit = (w . v) >= 0 ; bucket = 8-bit signature.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val planes = (0 until 8).map { pl =>
-        val proj = aggregate(
-          zip_with($"v", sequence(lit(0), lit(63)),
-            (x, d) => x * (((lit(pl) * 131 + d * 31) % 17) - 8).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0.0, 1L << pl).otherwise(0L)
-      }
-      emb.withColumn("bucket", planes.reduce(_ + _))
+        .withColumn("bucket", bucketCol($"v"))
+        .withColumn("vn", sqrt(dot(col("v"), col("v"))))
+      val a = emb.select($"vec_id".as("a_id"), $"v".as("va"), $"vn".as("na"), $"bucket")
+      val b = emb.select($"vec_id".as("b_id"), $"v".as("vb"), $"vn".as("nb"), $"bucket")
+      a.join(b, "bucket")
+        .filter($"a_id" < $"b_id")
+        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
+        .filter($"cos" >= 0.2)
+        .select($"a_id", $"b_id")
+        .orderBy($"a_id", $"b_id")
+    },
+
+    "q41_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      emb.withColumn("bucket", bucketCol($"v"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"))
         .orderBy($"bucket")
@@ -83,11 +108,19 @@ object AnnQueries {
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (
-  |  SELECT vec_id,
-         |         CAST(${(0 until 8).map { pl =>
-               s"""(CASE WHEN list_dot_product(v, (SELECT LIST(CAST(((($pl * 131 + d * 31) % 17) - 8) AS DOUBLE) ORDER BY d) FROM generate_series(0, 63) t(d))) >= 0.0 THEN ${1L << pl} ELSE 0 END)"""
-             }.mkString(" + \n         ")} AS BIGINT) AS bucket
+         |  SELECT vec_id, $bucketSql AS bucket
          |  FROM e)
          |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
-         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q42_neardup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn, $bucketSql AS bucket
+         |  FROM e)
+         |SELECT a.vec_id AS a_id, x.vec_id AS b_id
+         |FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+         |WHERE list_dot_product(a.v, x.v) / (a.vn * x.vn) >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin)
 }
