@@ -28,7 +28,10 @@ object TileEncoder {
       band: Int = 0,
       bandMixer: Option[BandMixing.Op] = None,
       nodata: Set[Double] = Set.empty,
-      transform: Option[Double => Double] = None)
+      transform: Option[Double => Double] = None,
+      /** optional coordinate-checker mask (P5, Geotools.java:577-581):
+        * cells failing the (x, y) predicate become nodata */
+      cellMask: Option[(Int, Int) => Boolean] = None)
 
   final case class Stats(min: Double, max: Double, nData: Long)
 
@@ -51,6 +54,7 @@ object TileEncoder {
           case Some(op) => op(all, i * n, 1, n)
           case None     => bandArr(i)
         }
+        if (p.cellMask.exists(!_(x, y))) value = Double.NaN
         if (value < -MagnitudeGuard || value > MagnitudeGuard) value = Double.NaN
         if (!java.lang.Double.isNaN(value) && p.nodata.nonEmpty) {
           val it = p.nodata.iterator

@@ -39,6 +39,13 @@ object RasterIoDemo {
     GeodataIO.exportPng(full, png, 700, 700)
     println(s"png_bytes=${png.length()} dims=${javax.imageio.ImageIO.read(png).getWidth}x${javax.imageio.ImageIO.read(png).getHeight}")
 
+    // coordinate-checker mask (P5): blank the left half of the mosaic
+    val maskedVals = graft.raster.TileEncoder.encode(full,
+      graft.raster.TileEncoder.EncodeParams(cellMask = Some((x, _) => x >= full.width / 2)))
+    val masked = full.copy(item_id = "masked", bands = Seq(maskedVals))
+    GeodataIO.exportPng(masked, new java.io.File(outDir, "masked.png"), 700, 700)
+    println(s"masked_nodata=${maskedVals.count(_.isNaN)} of ${maskedVals.length}")
+
     GeodataIO.writeAuxTable(DataKey.fromLabels(Seq("water", "urban", "forest")),
       new java.io.File(outDir, "mosaic.aux.csv"))
     println("aux=" + scala.io.Source.fromFile(new java.io.File(outDir, "mosaic.aux.csv")).getLines().mkString(";"))

@@ -85,6 +85,11 @@ class RasterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r3 = mkRaster(1, 1, Seq((_, _) => -9999.0))
     assert(TileEncoder.encode(r3, TileEncoder.EncodeParams(
       nodata = Set(-9999.0), transform = Some(_ => 42.0)))(0).isNaN)
+    // coordinate-checker mask (P5): failing cells -> NaN
+    val r4 = mkRaster(2, 2, Seq((x, y) => 1.0 + x + y))
+    val masked = TileEncoder.encode(r4, TileEncoder.EncodeParams(
+      cellMask = Some((x, y) => x == y)))
+    assert(!masked(0).isNaN && masked(1).isNaN && masked(2).isNaN && !masked(3).isNaN)
   }
 
   test("encode with band mixer and stats") {
