@@ -61,6 +61,71 @@ object SpatialJoin {
   }
 
   /**
+   * Skew-aware join planning (SURVEY.md §4 "join-strategy selection" +
+   * north rule: salted broadcast-or-sort-merge selection driven by per-cell
+   * histogram skew statistics).
+   *
+   * Strategy choice is driver-side (not a SparkStrategy — SURVEY §7.3):
+   *  - zone-cover side small  -> broadcast hash join (map-side, no shuffle);
+   *  - otherwise              -> shuffled join on the long cell key, with
+   *    histogram-driven salting: a sampled per-cell point histogram finds
+   *    hot cells (urban-area skew at 10^12 docs), each hot cell gets a salt
+   *    fan-out S_c ~ est_count / cap; points pick pmod(hash(lon,lat), S_c),
+   *    the zone-cover side explodes every cover cell x its S_c salts, and
+   *    the join key becomes (cell, salt) — hot reducers split S_c ways.
+   *    AQE's skew-join handles residual imbalance.
+   *
+   * Returns the same rows as [[pointsInZones]] (verified in tests).
+   */
+  final case class JoinPlan(strategy: String, hotCells: Map[Long, Int])
+
+  def planPointsInZones(points: DataFrame, zoneCells: DataFrame,
+                        broadcastMaxCells: Long = 200000L,
+                        sampleFraction: Double = 0.01,
+                        hotCellCap: Long = 2000000L): JoinPlan = {
+    val nZoneCells = zoneCells.count()
+    if (nZoneCells <= broadcastMaxCells) JoinPlan("broadcast", Map.empty)
+    else {
+      import points.sparkSession.implicits._
+      val hist = points.sample(sampleFraction)
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+        .filter($"n" > hotCellCap * sampleFraction)
+        .as[(Long, Long)].collect()
+      val hot = hist.map { case (cell, n) =>
+        val est = (n / sampleFraction).toLong
+        cell -> math.min(64, math.max(2, math.ceil(est.toDouble / hotCellCap).toInt))
+      }.toMap
+      JoinPlan("salted-shuffle", hot)
+    }
+  }
+
+  /** Points-in-polygons with automatic strategy + salting (scale path). */
+  def pointsInZonesAuto(points: DataFrame, zones: DataFrame, level: Int,
+                        broadcastMaxCells: Long = 200000L,
+                        sampleFraction: Double = 0.01,
+                        hotCellCap: Long = 2000000L): DataFrame = {
+    import points.sparkSession.implicits._
+    val zoneCells = zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
+    val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
+    val plan = planPointsInZones(pts, zoneCells, broadcastMaxCells, sampleFraction, hotCellCap)
+    val joined = plan match {
+      case JoinPlan("broadcast", _) =>
+        pts.join(broadcast(zoneCells), "cell")
+      case JoinPlan(_, hot) =>
+        val saltOf = typedLit(hot) // broadcast literal map cell -> fan-out
+        val saltedPts = pts.withColumn("salt",
+          when(element_at(saltOf, $"cell").isNotNull,
+               pmod(hash($"lon", $"lat"), element_at(saltOf, $"cell"))).otherwise(0))
+        val saltedZc = zoneCells.withColumn("salt",
+          explode(sequence(lit(0), coalesce(element_at(saltOf, $"cell"), lit(1)) - 1)))
+        saltedPts.join(saltedZc, Seq("cell", "salt")).drop("salt")
+    }
+    joined
+      .filter(GraftFunctions.winding_contains(col("ring"), col("lon"), col("lat")))
+      .drop("cell", "ring")
+  }
+
+  /**
    * Exact kNN join by iterative cell-ring expansion (SURVEY.md §2.5 note).
    *
    * Each round r joins points whose cell lies in the queries' Chebyshev

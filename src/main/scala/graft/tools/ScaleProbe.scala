@@ -35,6 +35,16 @@ object ScaleProbe {
           }).apply(col("ring"), lit(12)))))
         pts.withColumn("cell", GraftFunctions.cell_id($"lon", $"lat", lit(12)))
           .join(zoneCells, "cell").groupBy($"zone_id").count()
+      case "join_salted" =>
+        // force the salted-shuffle strategy on the scaling-bench zones
+        val zs = ScalingBench.zones(spark)
+        graft.operators.SpatialJoin.pointsInZonesAuto(pts, zs, 12,
+          broadcastMaxCells = 0, sampleFraction = 0.001, hotCellCap = 100000)
+          .groupBy($"zone_id").count()
+      case "join_auto" =>
+        val zs = ScalingBench.zones(spark)
+        graft.operators.SpatialJoin.pointsInZonesAuto(pts, zs, 12)
+          .groupBy($"zone_id").count()
       case "baseline" =>
         pts.groupBy($"doc_id" % 64).count()
     }
