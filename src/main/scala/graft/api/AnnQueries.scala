@@ -50,6 +50,8 @@ object AnnQueries {
         .select($"vec_id".as("qid"), $"v".as("qv"))
         .withColumn("qn", sqrt(dot($"qv", $"qv")))
       val cand = emb.withColumn("vn", sqrt(dot($"v", $"v")))
+      // deliberate broadcast nested-loop: brute force IS the baseline here;
+      // the scale path is the LSH-bucketed q41/q42 equi-join
       val scored = cand.crossJoin(broadcast(qs))
         .filter($"vec_id" =!= $"qid")
         .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))

@@ -70,8 +70,11 @@ object RasterQueries {
       import s.implicits._
       // requested region = full 60x40 grid; received cells = sparse events
       // projection; pad the difference with nodata (NULL)
-      val grid = s.range(1).select(explode(sequence(lit(0L), lit(59L))).as("gx"))
-        .crossJoin(s.range(1).select(explode(sequence(lit(0L), lit(39L))).as("gy")))
+      // full grid from one sequence + index decomposition (no join in the
+      // grid build — a crossJoin of two sequences plans a nested loop)
+      val grid = s.range(1)
+        .select(explode(sequence(lit(0L), lit(60L * 40 - 1))).as("i"))
+        .select(($"i" / 40).cast("long").as("gx"), ($"i" % 40).as("gy"))
       val fetched = s.read.parquet(s"$dir/events.parquet")
         .withColumn("gx", $"event_id" * 31 % 60)
         .withColumn("gy", $"event_id" * 17 % 40)
@@ -137,8 +140,9 @@ object RasterQueries {
       // resampled onto a 100x80 target over the same bbox: pure grid affine,
       // target cell center -> source cell (nearest kernel)
       val _ = dir // source is synthesized; scale-independent golden
-      val target = s.range(1).select(explode(sequence(lit(0L), lit(99L))).as("tx"))
-        .crossJoin(s.range(1).select(explode(sequence(lit(0L), lit(79L))).as("ty")))
+      val target = s.range(1)
+        .select(explode(sequence(lit(0L), lit(100L * 80 - 1))).as("i"))
+        .select(($"i" / 80).cast("long").as("tx"), ($"i" % 80).as("ty"))
       target
         .withColumn("sx", floor(($"tx" + 0.5) / 100.0 * 934.0).cast("long"))
         .withColumn("sy", floor(($"ty" + 0.5) / 80.0 * 631.0).cast("long"))
