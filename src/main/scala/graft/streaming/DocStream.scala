@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface. The reference itself has NO streaming
+ * (SURVEY.md §2.9 — batch/pull only); this module exists because a
+ * 100 TB training-data pipeline ingests documents continuously, and the
+ * engine's operators must compose with readStream/writeStream unchanged:
+ *
+ *  - [[spanCounts]]: streaming span extraction + watermarked windowed
+ *    aggregation (event-time, late-data tolerant);
+ *  - [[dedupStream]]: stateful exact dedup across micro-batches via
+ *    mapGroupsWithState on the text hash — first-seen wins, duplicates
+ *    carry the original doc's id (the streaming restatement of q30).
+ *
+ * Batch parquet drives the streams synchronously in tests
+ * (`processAllAvailable`), per the Spark testing idiom.
+ */
+object DocStream {
+
+  /** Streaming docs source: one file-per-trigger parquet stream with an
+    * event-time column derived deterministically from doc_id.
+    * FileStreamSource requires a directory, while the driver testdata is a
+    * single parquet file — stage it into a per-sf temp directory once
+    * (a real deployment streams an arriving-files directory anyway). */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    val dst = staged.resolve("part-00000.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("event_time",
+        timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L))
+  }
+
+  /** Span extraction per micro-batch + windowed counts with a watermark:
+    * (window, kind) -> span count. */
+  def spanCounts(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_spans", ceil(size(col("toks")) / 5.0).cast("int"))
+      .withColumn("i", explode(sequence(lit(0), col("n_spans") - 1)))
+      .withColumn("kind",
+        when((col("doc_id") + col("i")) % 4 === 0, "geo")
+          .when((col("doc_id") + col("i")) % 4 === 1, "media")
+          .otherwise("text"))
+    spans
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("kind"))
+      .agg(count(lit(1)).as("n_spans"))
+  }
+
+  final case class DedupState(firstDocId: Long)
+  final case class DedupOut(doc_id: Long, text_hash: String, is_duplicate: Boolean, first_doc_id: Long)
+
+  /** Stateful streaming dedup: the first doc_id seen for a text hash owns
+    * it; later arrivals are flagged duplicates. State never expires here
+    * (bounded synthetic corpus); production would set a timeout. */
+  def dedupStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select($"doc_id".cast("long").as("doc_id"), md5($"text").as("text_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState[DedupState, Seq[DedupOut]](GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)], state: GroupState[DedupState]) =>
+          val sorted = rows.map(_._1).toSeq.sorted
+          val first = state.getOption.map(_.firstDocId).getOrElse(sorted.head)
+          if (!state.exists) state.update(DedupState(first))
+          sorted.map(id => DedupOut(id, hash, id != first, first))
+      }
+      .flatMap(identity)
+      .toDF()
+  }
+}

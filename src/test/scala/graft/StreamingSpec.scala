@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.DocStream
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming span counts equal the batch computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = DocStream.spanCounts(DocStream.readDocs(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("span_counts").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT kind, CAST(sum(n_spans) AS BIGINT) n FROM span_counts GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    val batch = graft.extract.InterleavedDocs.flatSpans(spark, dir)
+      .groupBy($"kind").count().as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
+  test("stateful streaming dedup: first doc owns the hash, dups flagged") {
+    import spark.implicits._
+    val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("dedup").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.sql("SELECT * FROM dedup")
+    val n = out.count()
+    assert(n === 500) // every doc classified exactly once
+    // invariant: per hash, exactly one non-duplicate and it is the min id
+    import org.apache.spark.sql.functions._
+    val bad = out.groupBy($"text_hash")
+      .agg(sum(when(!$"is_duplicate", 1).otherwise(0)).as("owners"),
+           min($"doc_id").as("min_id"), max($"first_doc_id").as("fid"))
+      .filter($"owners" =!= 1 || $"min_id" =!= $"fid")
+      .count()
+    assert(bad === 0)
+    // matches the batch dedup query's keep ids
+    val batchKeeps = graft.api.TextQueries.queries("q30_dedup_exact")(spark, dir)
+      .select($"keep_id").as[Long].collect().toSet
+    val streamKeeps = out.filter(!$"is_duplicate").select($"doc_id").as[Long].collect().toSet
+    assert(streamKeeps === batchKeeps)
+  }
+}
