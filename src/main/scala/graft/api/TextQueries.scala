@@ -116,8 +116,14 @@ object TextQueries {
     // (band, sig) bucket — no all-pairs comparison at any scale.
     "q37_jaccard_neardup" -> { (s, dir) =>
       import s.implicits._
+      // localCheckpoint: the self-join and the two refine joins would each
+      // recompute the md5 signature pipeline otherwise (doc count is the
+      // SMALL side here — pairs outnumber docs by ~1000x)
+      // tsets sorted ONCE per doc so the refine uses the allocation-free
+      // merge-walk Jaccard expression (graft_jaccard) per candidate pair
       val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", array_distinct(split($"text", " ")).as("tset"))
+        .select($"doc_id", sort_array(array_distinct(split($"text", " "))).as("tset"))
+        .localCheckpoint(true)
       val bandSigs = (0 until 4).map { band =>
         val mh = transform($"tset", t => md5(concat(lit(s"$band|"), t)))
         struct(lit(band).as("band"),
@@ -126,6 +132,7 @@ object TextQueries {
       }
       val sigs = docs.select($"doc_id", explode(array(bandSigs: _*)).as("bs"))
         .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+        .localCheckpoint(true)
       val cand = sigs.as("a").join(sigs.as("b"), Seq("band", "sig"))
         .filter($"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -133,9 +140,7 @@ object TextQueries {
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"tset".as("ta")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"tset".as("tb")), "doc_b")
-        .withColumn("jac",
-          size(array_intersect($"ta", $"tb")).cast("double") /
-            size(array_union($"ta", $"tb")))
+        .withColumn("jac", graft.functions.GraftFunctions.jaccard_sorted($"ta", $"tb"))
         .filter($"jac" >= 0.9)
         .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")

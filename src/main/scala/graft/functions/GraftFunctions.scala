@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, JaccardSortedExpr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -19,6 +19,9 @@ object GraftFunctions {
     ColumnShim.column(WindingContainsExpr(
       ColumnShim.expression(ring), ColumnShim.expression(x), ColumnShim.expression(y)))
 
+  def jaccard_sorted(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardSortedExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -30,5 +33,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_contains"),
       new ExpressionInfo(classOf[WindingContainsExpr].getName, "graft_contains"),
       (exprs: Seq[Expression]) => WindingContainsExpr(exprs(0), exprs(1), exprs(2)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
+      (exprs: Seq[Expression]) => JaccardSortedExpr(exprs(0), exprs(1)))
   }
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -31,6 +31,22 @@ object GeoKernels {
       i += 1
     }
     wn != 0
+  }
+
+  /** Exact Jaccard similarity of two SORTED distinct string arrays by a
+    * single merge walk — no hash sets, no union-array allocation. With
+    * millions of candidate pairs per LSH band this is the refine hot loop. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 }
 
@@ -92,4 +108,32 @@ case class WindingContainsExpr(first: Expression, second: Expression, third: Exp
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): WindingContainsExpr =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/**
+ * graft_jaccard(sorted_a array<string>, sorted_b array<string>) → double
+ *
+ * Exact Jaccard over two sorted distinct string arrays (merge walk, see
+ * [[GeoKernels.jaccardSorted]]). Inputs MUST be sorted (sort_array over
+ * array_distinct) — callers own that invariant; sorting once per document
+ * beats hashing per pair by orders of magnitude at LSH-candidate scale.
+ */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.GeoKernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
 }
