@@ -91,6 +91,48 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // language-ID heuristic: score each candidate language by its marker
+    // lexicon (deterministic pseudo-profile: token t marks language L iff
+    // md5(L|t) starts with 0-4 — a stand-in for real per-language n-gram
+    // tables, structurally identical plumbing), argmax with lexicographic
+    // tiebreak. NOTE: the synthetic corpus shares one vocabulary across all
+    // langs, so the *accuracy* against the lang column is meaningless; the
+    // operator shape (profile join + argmax) is what's exercised.
+    "q38_langid" -> { (s, dir) =>
+      import s.implicits._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val scoredCols = langs.map { l =>
+        size(filter(split($"text", " "),
+          t => substring(md5(concat(lit(s"$l|"), t)), 1, 1).isin("0", "1", "2", "3", "4")))
+          .cast("bigint").as(s"s_$l")
+      }
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(($"doc_id" +: $"lang".as("true_lang") +: scoredCols): _*)
+      val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("l")))
+        .reduce((a, b) =>
+          when(b("score") > a("score"), b).otherwise(a)) // ties keep earlier (lexicographic)
+      scored.select($"doc_id", best.getField("l").as("pred_lang"),
+                    best.getField("score").as("score"),
+                    (best.getField("l") === $"true_lang").as("correct"))
+        .orderBy($"doc_id")
+    },
+
+    // BPE-ish regex tokenization: alpha runs and digit runs as subword
+    // units (whitespace tokenizer + regex fallback, the token-counting
+    // shape of a real BPE pre-tokenizer)
+    "q39_token_bpe" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("units", expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .select(
+          $"doc_id",
+          size($"units").cast("bigint").as("n_units"),
+          size(array_distinct($"units")).cast("bigint").as("n_distinct_units"),
+          aggregate($"units", lit(0L), (acc, u) => greatest(acc, length(u).cast("bigint")))
+            .as("max_unit_len"))
+        .orderBy($"doc_id")
+    },
+
     // 16-bit SimHash: bit b votes by the parity of md5 hex char b across the
     // token multiset; simhash bit set iff the (+1/-1) vote sum is positive
     "q36_simhash" -> { (s, dir) =>
@@ -191,6 +233,28 @@ object TextQueries {
         |         generate_series(0, GREATEST(n - 3, 0)),
         |         i -> md5(array_to_string(toks[i + 1 : i + 3], ' ')))) AS fp_shingle
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q38_langid" ->
+      """WITH scores AS (
+        |  SELECT doc_id, lang AS true_lang, langs.l,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              t -> substr(md5(langs.l || '|' || t), 1, 1) IN ('0','1','2','3','4'))) AS BIGINT) AS score
+        |  FROM documents, (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) langs(l)),
+        |r AS (
+        |  SELECT doc_id, true_lang, l, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rk
+        |  FROM scores)
+        |SELECT doc_id, l AS pred_lang, score, l = true_lang AS correct
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q39_token_bpe" ->
+      """WITH u AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+', 0) AS units FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(units) AS BIGINT) AS n_units,
+        |       CAST(len(list_distinct(units)) AS BIGINT) AS n_distinct_units,
+        |       COALESCE(list_max(list_transform(units, x -> CAST(length(x) AS BIGINT))), 0) AS max_unit_len
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q36_simhash" ->
       s"""WITH tok AS (

@@ -33,8 +33,10 @@ object Mosaic {
   case object Substitute extends MergeMode
 
   /** Split a region into column-major tiles of <= maxCells cells each
-    * (the reference's minSizeForSplitting rule, WCSAdapter.java:60-61). */
-  def splitTiles(region: TileGeometry, maxCells: Long = 1000000L): Seq[TileGeometry] = {
+    * (the reference's minSizeForSplitting rule, WCSAdapter.java:60-61),
+    * with each tile's global (x0, y0) cell offset in the region grid. */
+  def splitTilesWithOffsets(region: TileGeometry,
+                            maxCells: Long = 1000000L): Seq[(TileGeometry, Int, Int)] = {
     val side = math.max(1, math.sqrt(maxCells.toDouble).toInt)
     val nx = (region.width + side - 1) / side
     val ny = (region.height + side - 1) / side
@@ -44,13 +46,16 @@ object Mosaic {
     } yield {
       val x0 = tx * side; val x1 = math.min(region.width, x0 + side)
       val y0 = ty * side; val y1 = math.min(region.height, y0 + side)
-      TileGeometry(
+      (TileGeometry(
         x1 - x0, y1 - y0,
         region.minX + x0 * region.cellWidth, region.minX + x1 * region.cellWidth,
         region.minY + y0 * region.cellHeight, region.minY + y1 * region.cellHeight,
-        region.epsg, region.t0, region.t1)
+        region.epsg, region.t0, region.t1), x0, y0)
     }
   }
+
+  def splitTiles(region: TileGeometry, maxCells: Long = 1000000L): Seq[TileGeometry] =
+    splitTilesWithOffsets(region, maxCells).map(_._1)
 
   /** One merged Raster per target tile. Tiles with no intersecting item are
     * still emitted, nodata-filled (padding semantics J5). */
@@ -60,33 +65,35 @@ object Mosaic {
     val spark = items.sparkSession
     import spark.implicits._
 
-    val tiles = splitTiles(region, maxCells)
+    val tiles = splitTilesWithOffsets(region, maxCells)
     val tilesB = spark.sparkContext.broadcast(tiles.toArray)
     // apron: 2 source cells (bicubic support) expressed in world units of the
     // item's own resolution, applied on the tile bbox intersection test
     val assigned = items.flatMap { r =>
       val ax = 2 * r.geom.cellWidth; val ay = 2 * r.geom.cellHeight
       tilesB.value.zipWithIndex.collect {
-        case (t, i)
+        case ((t, _, _), i)
             if r.minX < t.maxX + ax && r.maxX > t.minX - ax &&
                r.minY < t.maxY + ay && r.maxY > t.minY - ay => (i, r)
       }
     }
 
-    val emptyTiles = spark.createDataset(tiles.zipWithIndex.map(_._2))
+    val emptyTiles = spark.createDataset(tiles.indices.toSeq)
       .map(i => (i, null.asInstanceOf[Raster]))
 
+    val regionB = spark.sparkContext.broadcast(region)
     assigned.union(emptyTiles)
       .groupByKey(_._1)
       .mapGroups { (tileIdx, rows) =>
-        val t = tilesB.value(tileIdx)
+        val (t, x0, y0) = tilesB.value(tileIdx)
         val frags = rows.map(_._2).filter(_ != null).toArray
         // determinism: sort by (ts, item_id) so SUBSTITUTE's later items win
         // independently of shuffle arrival order
         val sorted = frags.sortBy(r => (r.ts, r.item_id))
         val acc = Array.fill(t.width * t.height)(Double.NaN)
         sorted.foreach { r =>
-          val vals = Resample.toGrid(r, t, kernel)
+          // region-anchored sampling: split size never changes values
+          val vals = Resample.toGridAnchored(r, regionB.value, x0, y0, t.width, t.height, kernel)
           var i = 0
           while (i < acc.length) {
             val v = vals(i)

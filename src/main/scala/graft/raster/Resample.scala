@@ -95,19 +95,30 @@ object Resample {
   /** Resample a raster onto a target grid (both georeferenced, same CRS):
     * for each target cell center, map world -> source fractional cell coords
     * (the grid<->world affine F10) and sample. Out-of-coverage -> NaN. */
-  def toGrid(src: Raster, target: TileGeometry, kernel: Kernel, band: Int = 0): Array[Double] = {
+  def toGrid(src: Raster, target: TileGeometry, kernel: Kernel, band: Int = 0): Array[Double] =
+    toGridAnchored(src, target, 0, 0, target.width, target.height, kernel, band)
+
+  /**
+   * Tile-anchored variant: sample a (w x h) window of `region` starting at
+   * global cell (x0, y0), computing every cell center in the REGION frame —
+   * so a region split into tiles yields bit-identical values to the unsplit
+   * computation (tile.minX + (x+0.5)*cw and region.minX + (gx+0.5)*cw differ
+   * in the last ulp otherwise; split size must never change results).
+   */
+  def toGridAnchored(src: Raster, region: TileGeometry, x0: Int, y0: Int,
+                     w: Int, h: Int, kernel: Kernel, band: Int = 0): Array[Double] = {
     val s = src.geom
     val values = src.bands(band)
-    val out = new Array[Double](target.width * target.height)
+    val out = new Array[Double](w * h)
     var x = 0
-    while (x < target.width) {
-      val wx = target.cellCenterX(x)
+    while (x < w) {
+      val wx = region.cellCenterX(x0 + x)
       val sx = (wx - s.minX) / s.cellWidth
       var y = 0
-      while (y < target.height) {
-        val wy = target.cellCenterY(y)
+      while (y < h) {
+        val wy = region.cellCenterY(y0 + y)
         val sy = (wy - s.minY) / s.cellHeight
-        out(x * target.height + y) =
+        out(x * h + y) =
           if (wx < s.minX || wx >= s.maxX || wy < s.minY || wy >= s.maxY) Double.NaN
           else sample(values, s.width, s.height, sx, sy, kernel)
         y += 1

@@ -207,6 +207,31 @@ class RasterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.length === tiles.length - 1)
   }
 
+  test("tile split is transparent: many small tiles == one tile, bilinear") {
+    import spark.implicits._
+    // smooth overlapping items; bilinear sampling near tile borders must see
+    // the same fragment data regardless of the split (apron correctness)
+    val items = spark.createDataset(Seq(
+      mkRaster(35, 27, Seq((x, y) => 2.0 * x + 3.0 * y), 0, 35, 0, 27, id = "A", ts = 1),
+      mkRaster(40, 30, Seq((x, y) => 100.0 + x - y), 15, 55, 10, 40, id = "B", ts = 2)))
+    val region = TileGeometry(80, 60, 0, 55, 0, 40, 4326, 0, 0) // non-unit cell size
+    def grid(maxCells: Long): Map[(Long, Long), Double] =
+      Mosaic.mergeToTiles(items, region, Mosaic.Substitute, Resample.Bilinear, maxCells)
+        .collect().flatMap { r =>
+          val x0 = math.round((r.minX - region.minX) / region.cellWidth)
+          val y0 = math.round((r.minY - region.minY) / region.cellHeight)
+          for (x <- 0 until r.width; y <- 0 until r.height)
+            yield ((x0 + x, y0 + y), r.bands.head(x * r.height + y))
+        }.toMap
+    val one = grid(maxCells = 1000000)
+    val split = grid(maxCells = 200) // 15x15-ish tiles -> many borders
+    assert(one.size === 4800 && split.size === 4800)
+    one.foreach { case (k, v) =>
+      val w = split(k)
+      assert((v.isNaN && w.isNaN) || v === w, s"cell $k: $v vs $w")
+    }
+  }
+
   test("splitTiles covers the region exactly with <= 1M cell tiles") {
     val region = TileGeometry(2934, 2631, -75.0, -72.0, 3.0, 5.0, 4326, 0, 0)
     val tiles = Mosaic.splitTiles(region)
