@@ -1,0 +1,56 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.model.Doc
+import graft.operators.SpatialJoin
+
+/**
+ * Typed/fluent operator facade — the user-facing API boundary
+ * (north rule: typed Dataset/DataFrame + Catalyst throughout).
+ *
+ * {{{
+ *   import graft.api.GraftOps._
+ *   val docs: Dataset[Doc] = InterleavedDocs.typedDocs(spark, dir)
+ *   docs.geoSpans                        // (doc_id, span_idx, lon, lat)
+ *       .withCell(level = 12)            // + Z-order cell id
+ *       .pipJoin(zones, level = 12)      // cell-prefilter + winding refine
+ * }}}
+ */
+object GraftOps {
+
+  implicit class DocOps(private val docs: Dataset[Doc]) extends AnyVal {
+    /** Geometry-bearing spans in array order: (doc_id, span_idx, lon, lat). */
+    def geoSpans: DataFrame = {
+      import docs.sparkSession.implicits._
+      docs.select($"doc_id", posexplode($"spans").as(Seq("span_idx", "s")))
+        .filter($"s.kind" === "geo")
+        .withColumn("u", split($"s.text", ":")(0).cast("long"))
+        .withColumn("v", split($"s.text", ":")(1).cast("long"))
+        .select(
+          $"doc_id", $"span_idx".cast("bigint").as("span_idx"),
+          (lit(Geo.minX) + $"u".cast("double") / 100000.0 * (lit(Geo.maxX) - lit(Geo.minX))).as("lon"),
+          (lit(Geo.minY) + $"v".cast("double") / 100000.0 * (lit(Geo.maxY) - lit(Geo.minY))).as("lat"))
+    }
+  }
+
+  implicit class PointFrameOps(private val df: DataFrame) extends AnyVal {
+    /** Append the Z-order cell id of (lon, lat). */
+    def withCell(level: Int): DataFrame =
+      df.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
+
+    /** Point-in-polygon join against (zone_id, ring) zones. */
+    def pipJoin(zones: DataFrame, level: Int): DataFrame =
+      SpatialJoin.pointsInZones(df, zones, level)
+
+    /** Skew-aware PIP join (histogram-driven broadcast vs salted shuffle). */
+    def pipJoinAuto(zones: DataFrame, level: Int): DataFrame =
+      SpatialJoin.pointsInZonesAuto(df, zones, level)
+
+    /** Exact kNN against (qid, qx, qy) queries. */
+    def knn(queries: DataFrame, k: Int, level: Int): DataFrame =
+      SpatialJoin.knnJoin(df.withColumnRenamed("doc_id", "id"), queries, k, level)
+  }
+}

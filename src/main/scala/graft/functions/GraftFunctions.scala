@@ -22,6 +22,14 @@ object GraftFunctions {
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSortedExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Cell cover of a WKB geometry (generator shape: explode the result).
+    * JTS parse + cover runs once per geometry row, not per joined row. */
+  val cover_wkb: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (wkb: Array[Byte], level: Int) =>
+      val geom = new org.locationtech.jts.io.WKBReader().read(wkb)
+      graft.index.CellIndex.coverGeometry(geom, level)
+    }
+
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

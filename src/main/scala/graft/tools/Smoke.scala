@@ -56,6 +56,20 @@ object Smoke {
     println(s"entry_rows=${e.count()}")
     e.show(3, truncate = false)
 
+    println("== typed facade (GraftOps) ==")
+    locally {
+      import graft.api.GraftOps._
+      val zones = graft.api.Geo.zones(spark, "/root/testdata/sf0.001")
+        .select($"zone_id", $"ring")
+      val joined = graft.extract.InterleavedDocs
+        .typedDocs(spark, "/root/testdata/sf0.001")
+        .geoSpans
+        .withCell(level = 12)
+        .drop("cell")
+        .pipJoin(zones, level = 12)
+      println(s"facade_pip_rows=${joined.count()}")
+    }
+
     println("== probe: interleaved docs on edge-case texts ==")
     val edgeDir = "/tmp/graft_edge"
     Seq((0L, "", "xx", "s", 0L), (1L, "one", "xx", "s", 3L),
