@@ -22,17 +22,16 @@ import graft.operators.SpatialJoin
 object GraftOps {
 
   implicit class DocOps(private val docs: Dataset[Doc]) extends AnyVal {
-    /** Geometry-bearing spans in array order: (doc_id, span_idx, lon, lat). */
+    /** Geometry-bearing spans in array order: (doc_id, span_idx, lon, lat).
+      * Decode shared with InterleavedDocs.geoPoints (one affine, one place). */
     def geoSpans: DataFrame = {
       import docs.sparkSession.implicits._
+      import graft.extract.InterleavedDocs.{spanLat, spanLon}
       docs.select($"doc_id", posexplode($"spans").as(Seq("span_idx", "s")))
         .filter($"s.kind" === "geo")
-        .withColumn("u", split($"s.text", ":")(0).cast("long"))
-        .withColumn("v", split($"s.text", ":")(1).cast("long"))
         .select(
           $"doc_id", $"span_idx".cast("bigint").as("span_idx"),
-          (lit(Geo.minX) + $"u".cast("double") / 100000.0 * (lit(Geo.maxX) - lit(Geo.minX))).as("lon"),
-          (lit(Geo.minY) + $"v".cast("double") / 100000.0 * (lit(Geo.maxY) - lit(Geo.minY))).as("lat"))
+          spanLon($"s.text").as("lon"), spanLat($"s.text").as("lat"))
     }
   }
 

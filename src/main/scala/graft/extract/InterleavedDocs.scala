@@ -76,17 +76,23 @@ object InterleavedDocs {
         $"s.media_ref".as("media_ref"), $"s.offset".cast("bigint").as("soffset"))
   }
 
+  /** The ONE decode of a geo span's "u:v" payload into bbox lon/lat — the
+    * affine must stay bit-identical to the DuckDB oracles, so every caller
+    * (geoPoints, the GraftOps facade) goes through these two columns. */
+  def spanLon(stext: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(Geo.minX) + split(stext, ":")(0).cast("long").cast("double") / 100000.0 *
+      (lit(Geo.maxX) - lit(Geo.minX))
+  def spanLat(stext: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(Geo.minY) + split(stext, ":")(1).cast("long").cast("double") / 100000.0 *
+      (lit(Geo.maxY) - lit(Geo.minY))
+
   /** Geometry extraction: geo spans -> (doc_id, span_idx, lon, lat). */
   def geoPoints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     flatSpans(spark, dir)
       .filter($"kind" === "geo")
-      .withColumn("u", split($"stext", ":")(0).cast("long"))
-      .withColumn("v", split($"stext", ":")(1).cast("long"))
-      .select(
-        $"doc_id", $"span_idx",
-        (lit(Geo.minX) + $"u".cast("double") / 100000.0 * (lit(Geo.maxX) - lit(Geo.minX))).as("lon"),
-        (lit(Geo.minY) + $"v".cast("double") / 100000.0 * (lit(Geo.maxY) - lit(Geo.minY))).as("lat"))
+      .select($"doc_id", $"span_idx",
+              spanLon($"stext").as("lon"), spanLat($"stext").as("lat"))
   }
 
   /** DuckDB CTE replaying the synthesis + extraction, for the oracles. */

@@ -33,17 +33,23 @@ object GraftFunctions {
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+             (exprs: Seq[Expression]): Expression = {
+      require(exprs.length == n,
+        s"$name requires $n arguments, got ${exprs.length}")
+      build(exprs)
+    }
     reg.registerFunction(
       FunctionIdentifier("graft_cell_id"),
       new ExpressionInfo(classOf[CellIdExpr].getName, "graft_cell_id"),
-      (exprs: Seq[Expression]) => CellIdExpr(exprs(0), exprs(1), exprs(2)))
+      arity("graft_cell_id", 3)(e => CellIdExpr(e(0), e(1), e(2))) _)
     reg.registerFunction(
       FunctionIdentifier("graft_contains"),
       new ExpressionInfo(classOf[WindingContainsExpr].getName, "graft_contains"),
-      (exprs: Seq[Expression]) => WindingContainsExpr(exprs(0), exprs(1), exprs(2)))
+      arity("graft_contains", 3)(e => WindingContainsExpr(e(0), e(1), e(2))) _)
     reg.registerFunction(
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
-      (exprs: Seq[Expression]) => JaccardSortedExpr(exprs(0), exprs(1)))
+      arity("graft_jaccard", 2)(e => JaccardSortedExpr(e(0), e(1))) _)
   }
 }

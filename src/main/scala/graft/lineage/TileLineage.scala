@@ -82,8 +82,10 @@ object TileLineage {
     val counts = todo.groupBy($"tile_id").agg(count(lit(1)).as("rows")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     if (counts.nonEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-write option, not session conf: mutating the session-wide
+      // partitionOverwriteMode would silently change unrelated writes
       toWrite.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tile_id")
         .parquet(s"$tableDir/$DataDir")
       // job committed: now (and only now) record lineage

@@ -28,8 +28,9 @@ import graft.index.CellIndex
 object SpatialJoin {
 
   /** UDF: flat-ring triangle/polygon -> cell cover at a level (bbox cells
-    * refined by JTS intersects). Runs once per polygon, not per row. */
-  private val coverRingUdf = udf { (ring: Seq[Double], level: Int) =>
+    * refined by JTS intersects). Runs once per polygon, not per row.
+    * private[graft] so probes/benchmarks measure THIS kernel, not a copy. */
+  private[graft] val coverRingUdf = udf { (ring: Seq[Double], level: Int) =>
     val gf = new org.locationtech.jts.geom.GeometryFactory()
     val n = ring.length / 2
     val coords = new Array[org.locationtech.jts.geom.Coordinate](n + 1)
@@ -197,6 +198,14 @@ object SpatialJoin {
     }
     pts.unpersist()
     val parts = settledParts.result()
-    if (parts.isEmpty) spark.emptyDataFrame else parts.reduce(_ unionByName _)
+    if (parts.isEmpty)
+      // keep the (qid, rank, id, dist2) contract even with no queries
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dist2", org.apache.spark.sql.types.DoubleType))))
+    else parts.reduce(_ unionByName _)
   }
 }

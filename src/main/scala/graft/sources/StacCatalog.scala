@@ -59,17 +59,22 @@ object StacCatalog {
    * @param items (item_id, ring: array<double>, t_start, t_end nullable, ts, epsg, href, media_type)
    */
   def searchItems(items: DataFrame, bbox: (Double, Double, Double, Double),
-                  qStart: Long, qEnd: Long, level: Int = 10): DataFrame = {
+                  qStart: Long, qEnd: Long): DataFrame = {
     import items.sparkSession.implicits._
     val (minX, maxX, minY, maxY) = bbox
-    // region as a ring; items' rings joined via cell cover + winding on the
-    // item centroid is NOT correct for polygon-polygon: use bbox overlap on
-    // item envelope (exact for the bbox query the reference issues)
+    // polygon-vs-bbox selection uses the item envelope (exact for the bbox
+    // query the reference issues); the ring is traversed once — xs/ys split
+    // by coordinate parity, envelope from four aggregates over those
     val env = items
-      .withColumn("i_minx", aggregate(filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))), s => s("i") % 2 === 0), lit(Double.MaxValue), (acc, s) => least(acc, s("v"))))
-      .withColumn("i_maxx", aggregate(filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))), s => s("i") % 2 === 0), lit(Double.MinValue), (acc, s) => greatest(acc, s("v"))))
-      .withColumn("i_miny", aggregate(filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))), s => s("i") % 2 === 1), lit(Double.MaxValue), (acc, s) => least(acc, s("v"))))
-      .withColumn("i_maxy", aggregate(filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))), s => s("i") % 2 === 1), lit(Double.MinValue), (acc, s) => greatest(acc, s("v"))))
+      .withColumn("xs", filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))),
+                               s => s("i") % 2 === 0))
+      .withColumn("ys", filter(transform($"ring", (v, i) => struct(v.as("v"), i.as("i"))),
+                               s => s("i") % 2 === 1))
+      .withColumn("i_minx", aggregate($"xs", lit(Double.MaxValue), (acc, s) => least(acc, s("v"))))
+      .withColumn("i_maxx", aggregate($"xs", lit(Double.MinValue), (acc, s) => greatest(acc, s("v"))))
+      .withColumn("i_miny", aggregate($"ys", lit(Double.MaxValue), (acc, s) => least(acc, s("v"))))
+      .withColumn("i_maxy", aggregate($"ys", lit(Double.MinValue), (acc, s) => greatest(acc, s("v"))))
+      .drop("xs", "ys")
     env
       .filter($"i_minx" < maxX && $"i_maxx" > minX && $"i_miny" < maxY && $"i_maxy" > minY)
       .filter(

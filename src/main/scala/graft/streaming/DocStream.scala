@@ -32,8 +32,10 @@ object DocStream {
       sys.props("java.io.tmpdir"), "graft_stream", dir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(staged)
     val dst = staged.resolve("part-00000.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
+    // REPLACE_EXISTING: never serve a stale/truncated staged copy if the
+    // source was regenerated or a previous JVM died mid-copy
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.readStream
       .schema(spark.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", "1")

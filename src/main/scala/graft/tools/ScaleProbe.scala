@@ -25,14 +25,9 @@ object ScaleProbe {
           .groupBy($"zone_id").count()
       case "join_norefine" =>
         val zs = Geo.zones(spark, "/root/testdata/sf0.001").select($"zone_id", $"ring")
+        // same cover kernel as production (SpatialJoin.coverRingUdf)
         val zoneCells = broadcast(zs.withColumn("cell",
-          explode(udf((ring: Seq[Double], level: Int) => {
-            val gf = new org.locationtech.jts.geom.GeometryFactory()
-            val nv = ring.length / 2
-            val cs = Array.tabulate(nv + 1)(i =>
-              new org.locationtech.jts.geom.Coordinate(ring(2 * (i % nv)), ring(2 * (i % nv) + 1)))
-            graft.index.CellIndex.coverGeometry(gf.createPolygon(cs), level)
-          }).apply(col("ring"), lit(12)))))
+          explode(graft.operators.SpatialJoin.coverRingUdf(col("ring"), lit(12)))))
         pts.withColumn("cell", GraftFunctions.cell_id($"lon", $"lat", lit(12)))
           .join(zoneCells, "cell").groupBy($"zone_id").count()
       case "join_salted" =>
