@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TileGeometry
+import graft.raster.Focal
+
+/**
+ * Geomorphology queries (reference library/HMGeomorphology.java, implemented
+ * for real — see graft.raster.Terrain/Focal):
+ *   q61: distributed fractal terrain generation (value noise, D2_XY);
+ *   q62: slope via distributed halo exchange over the terrain tiles.
+ *
+ * The DuckDB oracle replays the noise arithmetic exactly; accumulated double
+ * constants (octave amplitudes, 2*cellsize) are emitted as CAST('...' AS
+ * DOUBLE) of the Scala-computed values so both engines use identical bits.
+ */
+object TerrainQueries {
+
+  private val W = 100; private val H = 80
+  private val region = TileGeometry(W, H, 0.0, 10.0, 0.0, 8.0, 4326, 0L, 0L)
+  private val MaxCells = 2000L // force a multi-tile layout (distribution on)
+
+  /** SQL expression for Terrain.noise at frequency f over the (cx, cy) grid. */
+  private def noiseSql(freq: Double): String = {
+    val x = s"((cx + 0.5) * CAST('$freq' AS DOUBLE) / $W)"
+    val y = s"((cy + 0.5) * CAST('$freq' AS DOUBLE) / $H)"
+    def hash(i: String, j: String) =
+      s"(CAST((($i) * 73856093 + ($j) * 19349663) % 100000 AS DOUBLE) / 100000.0)"
+    val ix = s"CAST(FLOOR($x) AS BIGINT)"; val iy = s"CAST(FLOOR($y) AS BIGINT)"
+    val fx = s"($x - $ix)"; val fy = s"($y - $iy)"
+    val sx = s"($fx * $fx * (3.0 - 2.0 * $fx))"
+    val sy = s"($fy * $fy * (3.0 - 2.0 * $fy))"
+    s"""((${hash(ix, iy)} * (1.0 - $sx) + ${hash(s"$ix + 1", iy)} * $sx) * (1.0 - $sy)
+       | + (${hash(ix, s"$iy + 1")} * (1.0 - $sx) + ${hash(s"$ix + 1", s"$iy + 1")} * $sx) * $sy)""".stripMargin
+  }
+
+  /** SQL for the 4-octave elevation, mirroring Terrain.elevation's
+    * accumulation order and emitting Scala-computed amplitude bits. */
+  private def elevationSql: String = {
+    val amps = Iterator.iterate(1.0)(_ * 0.55).take(4).toSeq
+    val norm = amps.sum // same accumulation order as the Scala loop
+    val terms = amps.zipWithIndex.map { case (amp, o) =>
+      s"CAST('$amp' AS DOUBLE) * ${noiseSql(4.0 * math.pow(2.0, o))}"
+    }
+    s"(0.0 + (4000.0 - 0.0) * ((${terms.mkString("\n  + ")}) / CAST('$norm' AS DOUBLE)))"
+  }
+
+  private def terrainCte: String =
+    s"""terrain AS (
+       |  SELECT cx.cx, cy.cy, $elevationSql AS elev
+       |  FROM generate_series(0, ${W - 1}) cx(cx), generate_series(0, ${H - 1}) cy(cy))""".stripMargin
+
+  /** Flatten tiles back to (cx, cy, v) rows with region-global indices. */
+  private def tilesToRows(s: SparkSession, tiles: org.apache.spark.sql.Dataset[graft.model.Raster],
+                          col3: String): DataFrame = {
+    import s.implicits._
+    val r0 = region
+    tiles.flatMap { r =>
+      val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
+      val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
+      val vs = r.bands.head
+      for (x <- 0 until r.width; y <- 0 until r.height)
+        yield (x0 + x.toLong, y0 + y.toLong,
+               if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+               else Some(vs(x * r.height + y)))
+    }.toDF("cx", "cy", col3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_terrain" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir // terrain is synthesized; scale-independent golden
+      tilesToRows(s, Focal.terrainTiles(s, region, maxCells = MaxCells), "elev")
+        .orderBy($"cx", $"cy")
+    },
+
+    "q62_slope" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
+      tilesToRows(s, Focal.slope(terrain, region, maxCells = MaxCells), "slope")
+        .orderBy($"cx", $"cy")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q61_terrain" ->
+      s"""WITH $terrainCte
+         |SELECT cx, cy, elev FROM terrain ORDER BY cx, cy""".stripMargin,
+
+    "q62_slope" -> {
+      val dx2 = 2.0 * region.cellWidth
+      val dy2 = 2.0 * region.cellHeight
+      s"""WITH $terrainCte
+         |SELECT c.cx, c.cy,
+         |       CASE WHEN c.cx > 0 AND c.cx < ${W - 1} AND c.cy > 0 AND c.cy < ${H - 1}
+         |            THEN sqrt(((e.elev - w.elev) / CAST('$dx2' AS DOUBLE)) * ((e.elev - w.elev) / CAST('$dx2' AS DOUBLE))
+         |                    + ((n.elev - s.elev) / CAST('$dy2' AS DOUBLE)) * ((n.elev - s.elev) / CAST('$dy2' AS DOUBLE)))
+         |       END AS slope
+         |FROM terrain c
+         |LEFT JOIN terrain e ON e.cx = c.cx + 1 AND e.cy = c.cy
+         |LEFT JOIN terrain w ON w.cx = c.cx - 1 AND w.cy = c.cy
+         |LEFT JOIN terrain n ON n.cx = c.cx AND n.cy = c.cy + 1
+         |LEFT JOIN terrain s ON s.cx = c.cx AND s.cy = c.cy - 1
+         |ORDER BY c.cx, c.cy""".stripMargin
+    })
+}

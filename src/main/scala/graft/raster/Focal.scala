@@ -1,0 +1,132 @@
+package graft.raster
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{Raster, TileGeometry}
+
+/**
+ * Focal (neighborhood) operators over tiled rasters with DISTRIBUTED HALO
+ * EXCHANGE — the hard part the reference sidesteps by fetching overlapping
+ * coverage per tile (SURVEY.md §7.4.4). Tiles here are disjoint, so each
+ * tile ships its 1-cell border strips to the neighbors that need them, and
+ * every tile computes its kernel over (own cells + received strips) without
+ * ever materializing the full grid on one machine.
+ *
+ * Slope is the HortonMachine gradient the reference's `hm.geomorphology`
+ * library declares (HMGeomorphology.java):
+ *   p = (E - W) / (2 dx), q = (N - S) / (2 dy), slope = sqrt(p^2 + q^2);
+ * cells whose 4-neighborhood leaves the region (or hits NaN) become NaN.
+ */
+/** One shipped border strip: cells of `values` at global column/row
+  * coordinates (sx0, sy0), destined for tile `targetIdx`. Top-level (not
+  * nested) because Catalyst's encoder codegen cannot reference classes
+  * nested inside an object cleanly. */
+final case class FocalStrip(targetIdx: Int, sx0: Int, sy0: Int, sw: Int, sh: Int,
+                            values: Array[Double])
+
+object Focal {
+
+  /**
+   * Slope over a tiled region. `tiles` must partition `region` on the grid
+   * produced by [[Mosaic.splitTilesWithOffsets]] with the same maxCells
+   * (e.g. the output of Mosaic.mergeToTiles or Terrain generation).
+   */
+  def slope(tiles: Dataset[Raster], region: TileGeometry,
+            maxCells: Long = 1000000L): Dataset[Raster] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+
+    val layout = Mosaic.splitTilesWithOffsets(region, maxCells).toArray
+    val layoutB = spark.sparkContext.broadcast(layout)
+    val dx2 = 2.0 * region.cellWidth
+    val dy2 = 2.0 * region.cellHeight
+
+    // index tiles by their global offset (derived from their bbox)
+    def tileIdxOf(r: Raster): Int = {
+      val x0 = math.round((r.minX - region.minX) / region.cellWidth).toInt
+      val y0 = math.round((r.minY - region.minY) / region.cellHeight).toInt
+      layoutB.value.indexWhere { case (_, tx, ty) => tx == x0 && ty == y0 }
+    }
+
+    // each tile keeps itself and ships 1-cell border strips to its 4-telling
+    // neighbors (E/W strips = first/last column; N/S strips = first/last row)
+    val keyed = tiles.flatMap { r =>
+      val idx = tileIdxOf(r)
+      require(idx >= 0, s"tile ${r.item_id} does not sit on the region layout")
+      val (_, x0, y0) = layoutB.value(idx)
+      val vals = r.bands.head
+      val w = r.width; val h = r.height
+      val out = Seq.newBuilder[(Int, FocalStrip)]
+      out += idx -> FocalStrip(idx, x0, y0, w, h, vals)
+      layoutB.value.zipWithIndex.foreach { case ((_, nx0, ny0), nIdx) =>
+        if (nIdx != idx) {
+          def colStrip(col: Int) = Array.tabulate(h)(y => vals(col * h + y))
+          def rowStrip(row: Int) = Array.tabulate(w)(x => vals(x * h + row))
+          // neighbor to the east needs our last column, etc. (adjacency by
+          // exact offset arithmetic on the shared layout)
+          val (_, tx, ty) = layoutB.value(idx)
+          val (tw, th) = (w, h)
+          if (nx0 == tx + tw && ny0 == ty)                  // east
+            out += nIdx -> FocalStrip(nIdx, tx + tw - 1, ty, 1, th, colStrip(tw - 1))
+          if (nx0 + layoutB.value(nIdx)._1.width == tx && ny0 == ty) // west
+            out += nIdx -> FocalStrip(nIdx, tx, ty, 1, th, colStrip(0))
+          if (ny0 == ty + th && nx0 == tx)                  // north
+            out += nIdx -> FocalStrip(nIdx, tx, ty + th - 1, tw, 1, rowStrip(th - 1))
+          if (ny0 + layoutB.value(nIdx)._1.height == ty && nx0 == tx) // south
+            out += nIdx -> FocalStrip(nIdx, tx, ty, tw, 1, rowStrip(0))
+        }
+      }
+      out.result()
+    }
+
+    keyed.groupByKey(_._1).mapGroups { (idx, rows) =>
+      val (t, x0, y0) = layoutB.value(idx)
+      val w = t.width; val h = t.height
+      // padded window: own tile + 1-cell apron, NaN where nothing arrived
+      val pad = Array.fill((w + 2) * (h + 2))(Double.NaN)
+      @inline def pidx(gx: Int, gy: Int) = (gx - x0 + 1) * (h + 2) + (gy - y0 + 1)
+      rows.foreach { case (_, s) =>
+        var i = 0
+        while (i < s.sw) {
+          var j = 0
+          while (j < s.sh) {
+            val gx = s.sx0 + i; val gy = s.sy0 + j
+            if (gx >= x0 - 1 && gx <= x0 + w && gy >= y0 - 1 && gy <= y0 + h)
+              pad(pidx(gx, gy)) = s.values(i * s.sh + j)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val out = new Array[Double](w * h)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val e = pad(pidx(x0 + x + 1, y0 + y)); val wv = pad(pidx(x0 + x - 1, y0 + y))
+          val n = pad(pidx(x0 + x, y0 + y + 1)); val s = pad(pidx(x0 + x, y0 + y - 1))
+          val p = (e - wv) / dx2
+          val q = (n - s) / dy2
+          out(x * h + y) = math.sqrt(p * p + q * q) // NaN propagates from any missing neighbor
+          y += 1
+        }
+        x += 1
+      }
+      Raster(f"slope-$idx%04d", 0L, w, h, t.minX, t.maxX, t.minY, t.maxY, t.epsg, Seq(out))
+    }
+  }
+
+  /** Terrain generation distributed over the region's tiles. */
+  def terrainTiles(spark: SparkSession, region: TileGeometry,
+                   lo: Double = 0.0, hi: Double = 4000.0,
+                   octaves: Int = 4, roughness: Double = 0.55,
+                   maxCells: Long = 1000000L): Dataset[Raster] = {
+    import spark.implicits._
+    val layout = Mosaic.splitTilesWithOffsets(region, maxCells)
+    spark.createDataset(layout.zipWithIndex).map { case ((t, x0, y0), i) =>
+      Raster(f"terrain-$i%04d", 0L, t.width, t.height,
+             t.minX, t.maxX, t.minY, t.maxY, t.epsg,
+             Seq(Terrain.generateTile(region, x0, y0, t.width, t.height, lo, hi, octaves, roughness)))
+    }
+  }
+}

@@ -46,6 +46,25 @@ object RasterIoDemo {
     GeodataIO.exportPng(masked, new java.io.File(outDir, "masked.png"), 700, 700)
     println(s"masked_nodata=${maskedVals.count(_.isNaN)} of ${maskedVals.length}")
 
+    // geomorphology: fractal terrain + halo-exchange slope, rendered
+    val tregion = TileGeometry(400, 300, 0, 40, 0, 30, 4326, 0, 0)
+    val terrain = graft.raster.Focal.terrainTiles(spark, tregion, maxCells = 20000)
+    val slope = graft.raster.Focal.slope(terrain, tregion, maxCells = 20000)
+    def assemble(rs: Array[Raster], name: String): Unit = {
+      val full = Array.fill(400 * 300)(Double.NaN)
+      rs.foreach { r =>
+        val x0 = math.round((r.minX - tregion.minX) / tregion.cellWidth).toInt
+        val y0 = math.round((r.minY - tregion.minY) / tregion.cellHeight).toInt
+        for (x <- 0 until r.width; y <- 0 until r.height)
+          full((x0 + x) * 300 + (y0 + y)) = r.bands.head(x * r.height + y)
+      }
+      GeodataIO.exportPng(Raster(name, 0, 400, 300, 0, 40, 0, 30, 4326, Seq(full)),
+        new java.io.File(outDir, s"$name.png"), 600, 600)
+    }
+    assemble(terrain.collect(), "terrain")
+    assemble(slope.collect(), "slope")
+    println(s"terrain_png=${new java.io.File(outDir, "terrain.png").length()} slope_png=${new java.io.File(outDir, "slope.png").length()}")
+
     GeodataIO.writeAuxTable(DataKey.fromLabels(Seq("water", "urban", "forest")),
       new java.io.File(outDir, "mosaic.aux.csv"))
     println("aux=" + scala.io.Source.fromFile(new java.io.File(outDir, "mosaic.aux.csv")).getLines().mkString(";"))
