@@ -163,7 +163,10 @@ object SpatialJoin {
     val maxRing = 64
     var remaining = queries.select($"qid", $"qx", $"qy").localCheckpoint(true)
     val settledParts = Seq.newBuilder[DataFrame]
-    var r = 1
+    // start at r=2: the settle criterion needs a guaranteed-covered radius of
+    // (r-1)*cellMin > 0, so an r=1 round can never settle anything and would
+    // be a wasted distributed pass
+    var r = 2
     var continue = remaining.limit(1).count() > 0
     while (continue) {
       val lastRound = r > maxRing
