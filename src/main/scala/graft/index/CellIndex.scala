@@ -133,12 +133,16 @@ object CellIndex {
   def disk(id: Long, k: Int): Array[Long] =
     (0 to k).flatMap(r => ring(id, r)).toArray
 
-  /** All cells intersecting a bbox at a level. Caller bounds the level so the
-    * cover stays small (the join planner picks level from target cell counts,
-    * mirroring the reference's 1M-cell split rule, WCSAdapter.java:60-61). */
+  /** All cells intersecting a bbox at a level (boundary-inclusive: a bbox
+    * edge exactly on a cell boundary keeps that cell, because the winding
+    * refine is boundary-inclusive too — a tighter cover would silently drop
+    * boundary matches; supersets are always safe before an exact refine).
+    * Caller bounds the level so the cover stays small (the join planner picks
+    * level from target cell counts, mirroring the reference's 1M-cell split
+    * rule, WCSAdapter.java:60-61). */
   def coverBBox(minX: Double, maxX: Double, minY: Double, maxY: Double, level: Int): Array[Long] = {
-    val x0 = xIndex(minX, level); val x1 = xIndex(math.nextDown(maxX), level)
-    val y0 = yIndex(minY, level); val y1 = yIndex(math.nextDown(maxY), level)
+    val x0 = xIndex(minX, level); val x1 = xIndex(maxX, level)
+    val y0 = yIndex(minY, level); val y1 = yIndex(maxY, level)
     val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
     var i = 0
     var x = x0
@@ -163,10 +167,14 @@ object CellIndex {
   /**
    * Exact point-in-polygon by winding number over a flat [x0,y0,x1,y1,...]
    * ring array (closed implicitly). Non-zero winding rule; boundary points
-   * count as inside. Static so the codegen'd expression can call it.
-   * (The reference delegates exact PIP to JTS via setGeometryFilter,
-   * adapters/stac/StacEngine.java:161-162; we keep JTS for prep-time ops and
-   * use this allocation-free kernel in the per-row refine.)
+   * count as inside. (The reference delegates exact PIP to JTS via
+   * setGeometryFilter, adapters/stac/StacEngine.java:161-162.)
+   *
+   * NOTE: the production codegen path uses the ArrayData twin
+   * org.apache.spark.sql.graft.GeoKernels.windingContains (allocation-free
+   * over UnsafeArrayData); this Array[Double] form is the Spark-free
+   * reference implementation. A parity test (CellIndexSpec) pins the two
+   * together so they cannot drift.
    */
   def windingContains(ring: Array[Double], px: Double, py: Double): Boolean = {
     val n = ring.length / 2

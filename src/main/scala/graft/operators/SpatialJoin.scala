@@ -106,7 +106,10 @@ object SpatialJoin {
                         sampleFraction: Double = 0.01,
                         hotCellCap: Long = 2000000L): DataFrame = {
     import points.sparkSession.implicits._
+    // persist the exploded cover: the planner's count() and the join itself
+    // would otherwise both evaluate the JTS cover kernel per zone
     val zoneCells = zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
+      .persist()
     val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
     val plan = planPointsInZones(pts, zoneCells, broadcastMaxCells, sampleFraction, hotCellCap)
     val joined = plan match {
@@ -202,12 +205,14 @@ object SpatialJoin {
     pts.unpersist()
     val parts = settledParts.result()
     if (parts.isEmpty)
-      // keep the (qid, rank, id, dist2) contract even with no queries
+      // keep the (qid, rank, id, dist2) contract even with no queries —
+      // qid/id take the CALLER'S column types so the schema never depends on
+      // whether the query side happened to be empty
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qid", queries.schema("qid").dataType),
           org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id", points.schema("id").dataType),
           org.apache.spark.sql.types.StructField("dist2", org.apache.spark.sql.types.DoubleType))))
     else parts.reduce(_ unionByName _)
   }

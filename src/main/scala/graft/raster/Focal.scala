@@ -40,42 +40,33 @@ object Focal {
     val layoutB = spark.sparkContext.broadcast(layout)
     val dx2 = 2.0 * region.cellWidth
     val dy2 = 2.0 * region.cellHeight
+    // the layout is a regular tx-major grid (idx = tx*ny + ty, side-sized
+    // tiles except the last row/column) — neighbor indices are O(1)
+    // arithmetic, never a layout scan (10^6 tiles at the 10^12-cell design
+    // point would make any O(T) per-tile scan a 10^12-step stage)
+    val side = math.max(1, math.sqrt(maxCells.toDouble).toInt)
+    val nx = (region.width + side - 1) / side
+    val ny = (region.height + side - 1) / side
 
-    // index tiles by their global offset (derived from their bbox)
-    def tileIdxOf(r: Raster): Int = {
+    // each tile keeps itself and ships 1-cell border strips to its 4
+    // neighbors (E/W strips = last/first column; N/S strips = last/first row)
+    val keyed = tiles.flatMap { r =>
       val x0 = math.round((r.minX - region.minX) / region.cellWidth).toInt
       val y0 = math.round((r.minY - region.minY) / region.cellHeight).toInt
-      layoutB.value.indexWhere { case (_, tx, ty) => tx == x0 && ty == y0 }
-    }
-
-    // each tile keeps itself and ships 1-cell border strips to its 4-telling
-    // neighbors (E/W strips = first/last column; N/S strips = first/last row)
-    val keyed = tiles.flatMap { r =>
-      val idx = tileIdxOf(r)
-      require(idx >= 0, s"tile ${r.item_id} does not sit on the region layout")
-      val (_, x0, y0) = layoutB.value(idx)
+      require(x0 % side == 0 && y0 % side == 0,
+        s"tile ${r.item_id} does not sit on the region layout")
+      val tx = x0 / side; val ty = y0 / side
+      val idx = tx * ny + ty
       val vals = r.bands.head
       val w = r.width; val h = r.height
+      def colStrip(col: Int) = Array.tabulate(h)(y => vals(col * h + y))
+      def rowStrip(row: Int) = Array.tabulate(w)(x => vals(x * h + row))
       val out = Seq.newBuilder[(Int, FocalStrip)]
       out += idx -> FocalStrip(idx, x0, y0, w, h, vals)
-      layoutB.value.zipWithIndex.foreach { case ((_, nx0, ny0), nIdx) =>
-        if (nIdx != idx) {
-          def colStrip(col: Int) = Array.tabulate(h)(y => vals(col * h + y))
-          def rowStrip(row: Int) = Array.tabulate(w)(x => vals(x * h + row))
-          // neighbor to the east needs our last column, etc. (adjacency by
-          // exact offset arithmetic on the shared layout)
-          val (_, tx, ty) = layoutB.value(idx)
-          val (tw, th) = (w, h)
-          if (nx0 == tx + tw && ny0 == ty)                  // east
-            out += nIdx -> FocalStrip(nIdx, tx + tw - 1, ty, 1, th, colStrip(tw - 1))
-          if (nx0 + layoutB.value(nIdx)._1.width == tx && ny0 == ty) // west
-            out += nIdx -> FocalStrip(nIdx, tx, ty, 1, th, colStrip(0))
-          if (ny0 == ty + th && nx0 == tx)                  // north
-            out += nIdx -> FocalStrip(nIdx, tx, ty + th - 1, tw, 1, rowStrip(th - 1))
-          if (ny0 + layoutB.value(nIdx)._1.height == ty && nx0 == tx) // south
-            out += nIdx -> FocalStrip(nIdx, tx, ty, tw, 1, rowStrip(0))
-        }
-      }
+      if (tx + 1 < nx) out += (idx + ny) -> FocalStrip(idx + ny, x0 + w - 1, y0, 1, h, colStrip(w - 1))
+      if (tx > 0)      out += (idx - ny) -> FocalStrip(idx - ny, x0, y0, 1, h, colStrip(0))
+      if (ty + 1 < ny) out += (idx + 1)  -> FocalStrip(idx + 1, x0, y0 + h - 1, w, 1, rowStrip(h - 1))
+      if (ty > 0)      out += (idx - 1)  -> FocalStrip(idx - 1, x0, y0, w, 1, rowStrip(0))
       out.result()
     }
 

@@ -67,15 +67,30 @@ object Mosaic {
 
     val tiles = splitTilesWithOffsets(region, maxCells)
     val tilesB = spark.sparkContext.broadcast(tiles.toArray)
+    // regular tx-major layout: the window of intersecting tile indices is
+    // O(1) arithmetic per item (never a scan of all tiles — at 10^6 tiles an
+    // O(items * T) assignment would dominate the job)
+    val side = math.max(1, math.sqrt(maxCells.toDouble).toInt)
+    val nx = (region.width + side - 1) / side
+    val ny = (region.height + side - 1) / side
+    val cw = region.cellWidth; val ch = region.cellHeight
     // apron: 2 source cells (bicubic support) expressed in world units of the
     // item's own resolution, applied on the tile bbox intersection test
     val assigned = items.flatMap { r =>
       val ax = 2 * r.geom.cellWidth; val ay = 2 * r.geom.cellHeight
-      tilesB.value.zipWithIndex.collect {
-        case ((t, _, _), i)
-            if r.minX < t.maxX + ax && r.maxX > t.minX - ax &&
-               r.minY < t.maxY + ay && r.maxY > t.minY - ay => (i, r)
-      }
+      @inline def clamp(v: Int, hi: Int) = math.max(0, math.min(v, hi))
+      val txLo = clamp(math.floor((r.minX - ax - region.minX) / cw).toInt / side, nx - 1)
+      val txHi = clamp(math.floor((r.maxX + ax - region.minX) / cw).toInt / side, nx - 1)
+      val tyLo = clamp(math.floor((r.minY - ay - region.minY) / ch).toInt / side, ny - 1)
+      val tyHi = clamp(math.floor((r.maxY + ay - region.minY) / ch).toInt / side, ny - 1)
+      for {
+        tx <- txLo to txHi
+        ty <- tyLo to tyHi
+        i = tx * ny + ty
+        t = tilesB.value(i)._1
+        if r.minX < t.maxX + ax && r.maxX > t.minX - ax &&
+           r.minY < t.maxY + ay && r.maxY > t.minY - ay
+      } yield (i, r)
     }
 
     val emptyTiles = spark.createDataset(tiles.indices.toSeq)

@@ -90,6 +90,33 @@ class CellIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("windingContains: CellIndex and GeoKernels (codegen twin) never drift") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    for (_ <- 1 to 500) {
+      val n = 3 + rnd.nextInt(8)
+      val ring = Array.fill(2 * n)(rnd.between(-10.0, 10.0))
+      val px = rnd.between(-12.0, 12.0); val py = rnd.between(-12.0, 12.0)
+      assert(CellIndex.windingContains(ring, px, py) ===
+        org.apache.spark.sql.graft.GeoKernels.windingContains(ArrayData.toArrayData(ring), px, py))
+    }
+    // boundary case both ways
+    val tri = Array(0.0, 0.0, 4.0, 0.0, 2.0, 3.0)
+    assert(CellIndex.windingContains(tri, 2.0, 0.0) ===
+      org.apache.spark.sql.graft.GeoKernels.windingContains(ArrayData.toArrayData(tri), 2.0, 0.0))
+  }
+
+  test("coverBBox is boundary-inclusive (cells on the max edge kept)") {
+    // an edge exactly on a cell boundary keeps the adjacent cell: the
+    // winding refine is boundary-inclusive, so the prefilter must be too
+    val l = 10
+    val cell = CellIndex.cellId(0.0, 0.0, l) // (0,0) is a cell corner at all levels
+    val cover = CellIndex.coverBBox(-1.0, 0.0, -1.0, 0.0, l).toSet
+    assert(cover.contains(cell), "boundary cell dropped from cover")
+    // degenerate point envelope still yields its own cell
+    val pt = CellIndex.coverBBox(0.0, 0.0, 0.0, 0.0, l)
+    assert(pt.toSet === Set(cell))
+  }
+
   test("coverGeometry is a superset of the polygon's own point cells") {
     val gf = new GeometryFactory()
     val pts = Seq((0.0, 0.0), (4.0, 0.5), (5.0, 4.0), (1.0, 3.0))
