@@ -40,10 +40,10 @@ object ScalingBench {
     val rows = (0 until 400).map { k =>
       val cx = Geo.minX + (k % 20 + 0.5) / 20.0 * spanX
       val cy = Geo.minY + (k / 20 + 0.5) / 20.0 * spanY
-      val rx = 0.10 + (k % 7) * 0.03
-      val ry = 0.08 + (k % 5) * 0.03
-      val ring = (0 until 16).flatMap { i =>
-        val a = 2 * math.Pi * i / 16
+      val rx = 0.15 + (k % 7) * 0.04
+      val ry = 0.12 + (k % 5) * 0.04
+      val ring = (0 until 32).flatMap { i =>
+        val a = 2 * math.Pi * i / 32
         Seq(cx + rx * math.cos(a), cy + ry * math.sin(a))
       }
       (k.toLong, ring)
