@@ -78,6 +78,26 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    // gap-based sessionization (30-min inactivity closes a session): the
+    // classic event-pipeline window op — lag -> new-session flag ->
+    // running-sum session index -> per-session aggregate
+    "q07_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      s.read.parquet(p(dir, "events"))
+        .withColumn("ms", unix_millis($"ts".cast("timestamp")))
+        .withColumn("new_sess",
+          when(lag($"ms", 1).over(w).isNull ||
+               $"ms" - lag($"ms", 1).over(w) > 1800000L, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum($"new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+             min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+             sum(round($"value" * 100, 0).cast("bigint")).as("sum_value_cents"))
+        .orderBy($"user_id", $"sess_idx")
+    },
+
     "q06_json_props" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(p(dir, "events"))
@@ -122,6 +142,24 @@ object RelationalQueries {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q07_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, value, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, value, ms,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+        |  FROM flagged)
+        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+        |       MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q06_json_props" ->
       """SELECT event_type,
