@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -11,35 +11,87 @@ import org.apache.spark.sql.expressions.Window
  *  - q40: brute-force cosine top-k — the correctness baseline. Dot products
  *    via zip_with + aggregate (codegen'd higher-order functions, left-to-right
  *    accumulation = same order DuckDB evaluates list_dot_product).
- *  - q41: LSH-bucketed ANN scale path — random-hyperplane signs from
- *    deterministic seeded planes bucket the vectors; candidates only join
- *    within a bucket. Output = per-bucket stats (the recall-vs-brute-force
- *    property is asserted in ScalaTest; bucket contents are the oracle here).
+ *  - q41: LSH bucket stats for one 8-bit table (the bucketing primitive).
+ *  - q42: embedding near-dup, the scale path: NumTables=3 hyperplane tables
+ *    x PlanesPerTable=16 sign bits each (OR across tables), candidates only
+ *    within a (table, bucket) pair, buckets above EmbBucketCap dropped with a
+ *    logged count. 16-bit buckets put ~N/65536 vectors per bucket per table —
+ *    the within-bucket self-join stays linear-ish at 10^12 rows, where the
+ *    earlier single 8-bit table (256 buckets) was quadratic.
+ *  - q43: IVF ANN with a deterministic ladder codebook. Centroid assignment
+ *    is ONE projection — all 16 centroid dots per row from a literal
+ *    array<array<double>>, struct-sorted argmax — zero shuffle, no crossJoin,
+ *    no Window (the earlier crossJoin(16)+Window plan moved 16x the embedding
+ *    volume through an exchange to compute a per-row argmax).
+ *  - q44: IVF with a TRAINED codebook — one exact integer-quantized Lloyd
+ *    iteration (assign to ladder init, per-cluster integer-mean update)
+ *    whose arithmetic the DuckDB oracle replays bit-for-bit; then the same
+ *    zero-shuffle assignment and nprobe search as q43.
  *
  * Only ranks are emitted (not raw cosines) so last-ulp float differences
  * can't flip a hash compare; rank ties are broken by vec_id.
  */
 object AnnQueries {
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** 8 deterministic pseudo-hyperplanes: plane p, dim d has weight
-    * ((p*131 + d*31) % 17) - 8 (integer ladder — exactly replayable in SQL,
-    * no RNG). sign bit = (w . v) >= 0 ; bucket = 8-bit signature. */
-  private def bucketCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 8).map { pl =>
+  /** Integer dot product (exact — no float associativity concerns). */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  val NumTables = 3
+  val PlanesPerTable = 16
+  /** Max (table, bucket) size admitted to the q42 self-join (logged drops). */
+  val EmbBucketCap = 200
+
+  /** Deterministic pseudo-hyperplanes: table t, plane p, dim d has weight
+    * (((t*61 + p)*131 + d*31) % 17) - 8 (integer ladder — exactly replayable
+    * in SQL, no RNG). sign bit p = (w . v) >= 0; bucket = 16-bit signature. */
+  private def bucketCol(v: Column, table: Int, planes: Int): Column =
+    (0 until planes).map { pl =>
+      val seed = table * 61 + pl
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(63)),
-          (x, d) => x * (((lit(pl) * 131 + d * 31) % 17) - 8).cast("double")),
+          (x, d) => x * (((lit(seed) * 131 + d * 31) % 17) - 8).cast("double")),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0.0, 1L << pl).otherwise(0L)
     }.reduce(_ + _)
 
-  private val bucketSql: String =
-    s"""CAST(${(0 until 8).map { pl =>
-      s"""(CASE WHEN list_dot_product(v, (SELECT LIST(CAST(((($pl * 131 + d * 31) % 17) - 8) AS DOUBLE) ORDER BY d) FROM generate_series(0, 63) t(d))) >= 0.0 THEN ${1L << pl} ELSE 0 END)"""
+  private def bucketSql(table: Int, planes: Int): String =
+    s"""CAST(${(0 until planes).map { pl =>
+      val seed = table * 61 + pl
+      s"""(CASE WHEN list_dot_product(v, (SELECT LIST(CAST(((($seed * 131 + d * 31) % 17) - 8) AS DOUBLE) ORDER BY d) FROM generate_series(0, 63) t(d))) >= 0.0 THEN ${1L << pl} ELSE 0 END)"""
     }.mkString(" + ")} AS BIGINT)"""
+
+  /** q43 ladder codebook: centroid c, dim d = (((c*37 + d*11) % 13) - 6) / 6. */
+  private val LadderCents: Seq[Seq[Double]] =
+    (0 until 16).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toDouble / 6.0))
+
+  /** q44 integer init codebook (1e6-ish scale, pure integers — no rounding). */
+  val IvfK = 8
+  val IvfQuant = 1000000L
+  private val IntInitCents: Seq[Seq[Long]] =
+    (0 until IvfK).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toLong * 166667L))
+
+  private def centArrayLit(cents: Seq[Seq[Double]]): Column =
+    array(cents.map(ws => array(ws.map(lit): _*)): _*)
+
+  private def centArrayLitL(cents: Seq[Seq[Long]]): Column =
+    array(cents.map(ws => array(ws.map(lit): _*)): _*)
+
+  /** Zero-shuffle IVF assignment: per row, dots against every centroid in a
+    * literal codebook, struct-sorted (-dot, c) -> the nprobe best centroids.
+    * Output: (vec_id, v, vn, c, rk) with rk = 1..nprobe (rk 1 = home). */
+  private def assignProbes(emb: DataFrame, cents: Column, nprobe: Int,
+                           dotFn: (Column, Column) => Column, vecCol: String): DataFrame = {
+    val probes = slice(array_sort(transform(cents, (w, c) =>
+      struct((-dotFn(col(vecCol), w)).as("negd"), c.cast("int").as("c")))), 1, nprobe)
+    emb.select(col("*"), posexplode(probes))
+      .withColumn("rk", col("pos") + 1)
+      .withColumn("c", col("col.c"))
+      .drop("pos", "col")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_bruteforce" -> { (s, dir) =>
@@ -62,71 +114,140 @@ object AnnQueries {
         .orderBy($"qid", $"rnk")
     },
 
-    // embedding-cosine near-dup, LSH-bucketed (the scale path): candidate
-    // pairs only within an 8-bit hyperplane-sign bucket, then exact cosine
+    // embedding-cosine near-dup, multi-table LSH (the scale path): candidate
+    // pairs only within a (table, 16-bit bucket), OR'd across 3 tables,
+    // oversized buckets dropped (logged) before the self-join, exact cosine
+    // refine after
     "q42_neardup_embedding" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        .withColumn("bucket", bucketCol($"v"))
         .withColumn("vn", sqrt(dot(col("v"), col("v"))))
-      val a = emb.select($"vec_id".as("a_id"), $"v".as("va"), $"vn".as("na"), $"bucket")
-      val b = emb.select($"vec_id".as("b_id"), $"v".as("vb"), $"vn".as("nb"), $"bucket")
-      a.join(b, "bucket")
-        .filter($"a_id" < $"b_id")
-        .withColumn("cos", dot($"va", $"vb") / ($"na" * $"nb"))
-        .filter($"cos" >= 0.2)
+      // checkpoint the SIGNATURE table: it feeds the bucket-count pass and
+      // both sides of the self-join — without it the 48 hyperplane dots per
+      // vector would be recomputed three times
+      val sigs = emb.select($"vec_id",
+          posexplode(array((0 until NumTables).map(t =>
+            bucketCol($"v", t, PlanesPerTable)): _*)))
+        .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
+        .localCheckpoint(true)
+      val cand = graft.operators.BucketedSelfJoin
+        .pairs(sigs, Seq("t", "bucket"), "vec_id", EmbBucketCap, "q42")
+        .select($"doc_a".as("a_id"), $"doc_b".as("b_id"))
+      cand
+        .join(emb.select($"vec_id".as("a_id"), $"v".as("va"), $"vn".as("na")), "a_id")
+        .join(emb.select($"vec_id".as("b_id"), $"v".as("vb"), $"vn".as("nb")), "b_id")
+        .filter(dot($"va", $"vb") / ($"na" * $"nb") >= 0.2)
         .select($"a_id", $"b_id")
         .orderBy($"a_id", $"b_id")
     },
 
-    // IVF-style ANN scale path: 16 deterministic "centroids" (integer-ladder
-    // pseudo-vectors — no trained kmeans, exactly replayable in SQL); every
-    // vector is assigned to its max-dot centroid, queries probe their top-4
-    // clusters (nprobe=4/16), cosine ranks only within probed clusters.
-    // Measured top-3 recall vs the q40 brute force at sf0.01: 33% at
-    // nprobe=2, 47% at nprobe=4 — honest untrained-centroid IVF numbers on
-    // random embeddings (near-uniform directions are the worst case for
-    // coarse quantizers); a trained kmeans codebook slots in at `cents`.
+    // IVF-style ANN scale path: 16 deterministic ladder centroids, every
+    // vector assigned to its max-dot centroid in a single shuffle-free
+    // projection; queries probe their top-4 clusters (nprobe=4/16), cosine
+    // ranks only within probed clusters.
     "q43_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("vn", sqrt(dot($"v", $"v")))
-      val cents = s.range(0, 16).select($"id".cast("int").as("c"))
-        .withColumn("w", transform(sequence(lit(0), lit(63)),
-          d => ((($"c" * 37 + d * 11) % 13) - 6).cast("double") / 6.0))
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cdot", dot($"v", $"w"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"c")
-      val assigned = scored
-        .withColumn("rk", row_number().over(wAssign))
-        .filter($"rk" <= 4) // rank 1 = home cluster; ranks 1-4 = query probes
-        .select($"vec_id", $"v", $"vn", $"c", $"rk")
-        .localCheckpoint(true)
-      val homes = assigned.filter($"rk" === 1)
-        .select($"vec_id", $"v", $"vn", $"c")
-      val qprobes = assigned.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"vn".as("qn"), $"c")
-      val cand = homes.join(broadcast(qprobes), "c")
-        .filter($"vec_id" =!= $"qid")
-        .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
-      val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-      cand.withColumn("rnk", row_number().over(wTop).cast("bigint"))
-        .filter($"rnk" <= 3)
-        .select($"qid", $"rnk", $"vec_id")
-        .orderBy($"qid", $"rnk")
+      val assigned = assignProbes(emb, centArrayLit(LadderCents), nprobe = 4, dot, "v")
+      ivfSearch(assigned, nprobe = 4)
+    },
+
+    // IVF with a TRAINED codebook: one Lloyd iteration over integer-quantized
+    // vectors (exact arithmetic in both engines), then nprobe search.
+    "q44_ann_ivf_trained" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vn", sqrt(dot($"v", $"v")))
+        .withColumn("q", transform($"v", x => round(x * IvfQuant, 0).cast("bigint")))
+      val trained = trainCodebook(emb)
+      val assigned = assignProbes(emb, centArrayLitL(trained), nprobe = 2, idot, "q")
+        .drop("q")
+      ivfSearch(assigned, nprobe = 2)
     },
 
     "q41_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      emb.withColumn("bucket", bucketCol($"v"))
+      emb.withColumn("bucket", bucketCol($"v", 0, 8))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"))
         .orderBy($"bucket")
     })
+
+  /** One exact Lloyd iteration: assign quantized vectors to the integer init
+    * codebook (max integer dot, min-c tiebreak), update each centroid to the
+    * exact floor-mean of its members (empty clusters keep the init row).
+    * The 8x64 trained codebook is collected to the driver and re-broadcast
+    * as a literal — the IVF-training analog of a kmeans fit. */
+  private def trainCodebook(emb: DataFrame): Seq[Seq[Long]] = {
+    import emb.sparkSession.implicits._
+    val home = assignProbes(emb.select($"vec_id", $"q"),
+        centArrayLitL(IntInitCents), nprobe = 1, idot, "q")
+      .select($"q", $"c")
+    val sums = home
+      .select($"c", posexplode($"q").as(Seq("d", "qv")))
+      .groupBy($"c", $"d")
+      .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
+      // exact floor division: (s - pmod(s, n)) / n with bigints stays integral
+      .withColumn("m", (($"s" - pmod($"s", $"n")) / $"n").cast("bigint"))
+      .select($"c", $"d", $"m")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    (0 until IvfK).map(c => (0 until 64).map(d =>
+      sums.getOrElse((c, d), IntInitCents(c)(d))))
+  }
+
+  /** Shared IVF probe search: homes (rk=1) joined to broadcast query probes
+    * on the cluster id, cosine top-3 per query. */
+  private def ivfSearch(assigned: DataFrame, nprobe: Int): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val homes = assigned.filter($"rk" === 1)
+      .select($"vec_id", $"v", $"vn", $"c")
+    val qprobes = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"vn".as("qn"), $"c")
+    val cand = homes.join(broadcast(qprobes), "c")
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
+    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    cand.withColumn("rnk", row_number().over(wTop).cast("bigint"))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"vec_id")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** q44 oracle scaffolding: per-dim exploded quantized vectors + the
+    * integer init codebook + one exact Lloyd step, all in SQL. */
+  private def trainedCentsSql: String =
+    s"""vq AS (
+       |  SELECT vec_id, v, vn,
+       |         list_transform(v, x -> CAST(ROUND(x * $IvfQuant, 0) AS BIGINT)) AS q
+       |  FROM e),
+       |vdim AS (
+       |  SELECT vec_id, unnest(q) AS qv, unnest(generate_series(0, 63)) AS d FROM vq),
+       |m0 AS (
+       |  SELECT c.c, d.d,
+       |         CAST((((c.c * 37 + d.d * 11) % 13) - 6) * 166667 AS BIGINT) AS w
+       |  FROM generate_series(0, ${IvfK - 1}) c(c), generate_series(0, 63) d(d)),
+       |dots0 AS (
+       |  SELECT vdim.vec_id, m0.c, SUM(vdim.qv * m0.w) AS dt
+       |  FROM vdim JOIN m0 ON vdim.d = m0.d GROUP BY 1, 2),
+       |home0 AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, c) AS rk
+       |    FROM dots0) WHERE rk = 1),
+       |msum AS (
+       |  SELECT h.c, vdim.d, SUM(vdim.qv) AS s, COUNT(*) AS n
+       |  FROM vdim JOIN home0 h ON vdim.vec_id = h.vec_id GROUP BY 1, 2),
+       |m1 AS (
+       |  SELECT m0.c, m0.d,
+       |         COALESCE(CAST((msum.s - ((msum.s % msum.n) + msum.n) % msum.n) / msum.n AS BIGINT), m0.w) AS w
+       |  FROM m0 LEFT JOIN msum ON m0.c = msum.c AND m0.d = msum.d)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q40_ann_bruteforce" ->
@@ -148,7 +269,7 @@ object AnnQueries {
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (
-         |  SELECT vec_id, $bucketSql AS bucket
+         |  SELECT vec_id, ${bucketSql(0, 8)} AS bucket
          |  FROM e)
          |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -181,14 +302,54 @@ object AnnQueries {
          |      FROM cand)
          |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
+    "q44_ann_ivf_trained" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |$trainedCentsSql,
+         |dots1 AS (
+         |  SELECT vdim.vec_id, m1.c, SUM(vdim.qv * m1.w) AS dt
+         |  FROM vdim JOIN m1 ON vdim.d = m1.d GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, c) AS rk
+         |  FROM dots1),
+         |homes AS (
+         |  SELECT e.vec_id, e.v, e.vn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id WHERE r.rk = 1),
+         |qprobes AS (
+         |  SELECT e.vec_id AS qid, e.v AS qv, e.vn AS qn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id
+         |  WHERE r.rk <= 2 AND e.vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, h.vec_id,
+         |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos
+         |  FROM homes h JOIN qprobes q ON h.c = q.c
+         |  WHERE h.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     "q42_neardup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (
-         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn, $bucketSql AS bucket
-         |  FROM e)
-         |SELECT a.vec_id AS a_id, x.vec_id AS b_id
-         |FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+         |b0 AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+         |sigs AS (
+         |  ${(0 until NumTables).map(t =>
+             s"SELECT vec_id, $t AS t, ${bucketSql(t, PlanesPerTable)} AS bucket FROM b0")
+             .mkString("\n  UNION ALL\n  ")}),
+         |capped AS (
+         |  SELECT vec_id, t, bucket FROM (
+         |    SELECT vec_id, t, bucket, COUNT(*) OVER (PARTITION BY t, bucket) AS nb
+         |    FROM sigs)
+         |  WHERE nb <= $EmbBucketCap),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id
+         |  FROM capped a JOIN capped x ON a.t = x.t AND a.bucket = x.bucket AND a.vec_id < x.vec_id)
+         |SELECT c.a_id, c.b_id
+         |FROM cand c JOIN b0 a ON c.a_id = a.vec_id JOIN b0 x ON c.b_id = x.vec_id
          |WHERE list_dot_product(a.v, x.v) / (a.vn * x.vn) >= 0.2
          |ORDER BY a_id, b_id""".stripMargin)
 }

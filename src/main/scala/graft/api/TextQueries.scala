@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object TextQueries {
 
+  /** Max (band, sig) bucket size admitted to the q37 near-dup self-join;
+    * larger buckets are degenerate (stop-signatures) and dropped with a
+    * logged count (graft.operators.BucketedSelfJoin). Replayed by the
+    * oracle as a COUNT(*) OVER (PARTITION BY band, sig) <= cap filter. */
+  val NeardupBucketCap = 100
+
+  private def cappedBucketPairs(sigs: DataFrame, bucketCols: Seq[String],
+                                cap: Int, tag: String): DataFrame =
+    graft.operators.BucketedSelfJoin.pairs(sigs, bucketCols, "doc_id", cap, tag)
+
   /** sig_i = min over distinct tokens of md5(token)[8i .. 8i+8). */
   private def sigCol(toks: Column, i: Int): Column =
     array_min(transform(array_distinct(toks), t => substring(md5(t), i * 8 + 1, 8)))
@@ -101,12 +111,16 @@ object TextQueries {
     "q38_langid" -> { (s, dir) =>
       import s.implicits._
       val langs = Seq("de", "en", "es", "fr", "zh")
+      // the token array is hoisted to its own projection: `toks` is
+      // referenced 5x below, which blocks CollapseProject from inlining the
+      // split — ONE split per doc, five filters over the shared array
       val scoredCols = langs.map { l =>
-        size(filter(split($"text", " "),
+        size(filter($"toks",
           t => substring(md5(concat(lit(s"$l|"), t)), 1, 1).isin("0", "1", "2", "3", "4")))
           .cast("bigint").as(s"s_$l")
       }
       val scored = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", split($"text", " "))
         .select(($"doc_id" +: $"lang".as("true_lang") +: scoredCols): _*)
       val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("l")))
         .reduce((a, b) =>
@@ -155,7 +169,9 @@ object TextQueries {
     // a candidate when ANY band's 6 minhashes all match; measured 97% recall
     // at Jaccard >= 0.9 on this corpus vs 16% for a single AND-band), then
     // exact token-set Jaccard refine. Candidates only ever join within a
-    // (band, sig) bucket — no all-pairs comparison at any scale.
+    // (band, sig) bucket — no all-pairs comparison at any scale — and
+    // degenerate buckets larger than NeardupBucketCap are dropped (and
+    // LOGGED) before the self-join: one stop-bucket is otherwise O(n^2).
     "q37_jaccard_neardup" -> { (s, dir) =>
       import s.implicits._
       // localCheckpoint: the self-join and the two refine joins would each
@@ -175,10 +191,7 @@ object TextQueries {
       val sigs = docs.select($"doc_id", explode(array(bandSigs: _*)).as("bs"))
         .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
         .localCheckpoint(true)
-      val cand = sigs.as("a").join(sigs.as("b"), Seq("band", "sig"))
-        .filter($"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
+      val cand = cappedBucketPairs(sigs, Seq("band", "sig"), NeardupBucketCap, "q37")
       cand
         .join(docs.select($"doc_id".as("doc_a"), $"tset".as("ta")), "doc_a")
         .join(docs.select($"doc_id".as("doc_b"), $"tset".as("tb")), "doc_b")
@@ -281,9 +294,15 @@ object TextQueries {
          |         concat(${(0 until 6).map(j =>
                s"list_min(list_transform(mh, h -> substr(h, ${j * 4 + 1}, 4)))").mkString(",\n         ")}) AS sig
          |  FROM mh),
+         |capped AS (
+         |  SELECT doc_id, band, sig FROM (
+         |    SELECT doc_id, band, sig,
+         |           COUNT(*) OVER (PARTITION BY band, sig) AS n_bucket
+         |    FROM sigs)
+         |  WHERE n_bucket <= $NeardupBucketCap),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |       ROUND(CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
          |             / len(list_distinct(x.tset || y.tset)), 6) AS jaccard

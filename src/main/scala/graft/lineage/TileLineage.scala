@@ -1,5 +1,6 @@
 package graft.lineage
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,7 +19,7 @@ import org.apache.spark.sql.functions._
  * Write discipline (north rule: a killed run resumes without recomputing
  * completed tiles):
  *  1. completed = distinct tile_ids in _lineage (the commit log);
- *  2. todo = input anti-joined against completed;
+ *  2. todo = input tile set anti-joined against completed;
  *  3. one distributed job writes todo via DYNAMIC partition overwrite —
  *     per-tile atomicity: a tile directory is replaced wholesale or not at
  *     all, so a kill mid-job leaves either the old or the new content,
@@ -26,6 +27,13 @@ import org.apache.spark.sql.functions._
  *  4. lineage records for the newly written tiles are appended LAST —
  *     a tile is "done" only once its record is committed. A kill between
  *     3 and 4 recomputes those tiles (idempotent overwrite), never skips.
+ *
+ * All filesystem access goes through the Hadoop FileSystem API (works on
+ * HDFS/S3A, not just file://), and lineage records are produced by a
+ * DISTRIBUTED aggregation over the data just committed — per-tile row counts
+ * and byte sizes come from a `_metadata.file_size` scan of the written
+ * partitions, never from a driver-side per-tile stat loop (which is O(tiles)
+ * driver RPCs and always-false exists() on object stores).
  *
  * The reference analog: WCS/export file caches keyed by request
  * (WCSAdapter.java:114-158, RasterEncoder.java:69-80) — replaced here by
@@ -38,11 +46,16 @@ object TileLineage {
 
   final case class RunStats(tilesTotal: Long, tilesSkipped: Long, tilesWritten: Long, rowsWritten: Long)
 
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Distinct completed tile ids from the lineage log (empty on first run). */
   def completedTiles(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val path = s"$tableDir/$LineageDir"
-    if (new java.io.File(path).exists())
+    if (exists(spark, path))
       spark.read.parquet(path).select($"tile_id").distinct()
     else
       spark.emptyDataset[String].toDF("tile_id")
@@ -67,43 +80,50 @@ object TileLineage {
     import spark.implicits._
 
     val done = completedTiles(spark, tableDir)
-    val total = input.select($"tile_id").distinct().count()
-    val todo = input.join(broadcast(done), Seq("tile_id"), "left_anti")
+    val allTiles = input.select($"tile_id").distinct().localCheckpoint(true)
+    val total = allTiles.count()
+    val todoTiles = allTiles.join(broadcast(done), Seq("tile_id"), "left_anti")
+      .localCheckpoint(true)
+    val nTodo = todoTiles.count()
 
-    val poison = udf { t: String =>
-      if (failTiles.contains(t)) throw new RuntimeException(s"injected failure at tile $t")
-      t
-    }
-    val toWrite = if (failTiles.isEmpty) todo
-                  else todo.withColumn("tile_id", poison($"tile_id"))
-
-    // per-tile counts BEFORE the write so the lineage append after the job
-    // commits exactly what the job wrote (deterministic input => same rows)
-    val counts = todo.groupBy($"tile_id").agg(count(lit(1)).as("rows")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    if (counts.nonEmpty) {
+    if (nTodo > 0) {
+      val todo = input.join(broadcast(todoTiles), Seq("tile_id"), "left_semi")
+      val poison = udf { t: String =>
+        if (failTiles.contains(t)) throw new RuntimeException(s"injected failure at tile $t")
+        t
+      }
+      val toWrite = if (failTiles.isEmpty) todo
+                    else todo.withColumn("tile_id", poison($"tile_id"))
       // per-write option, not session conf: mutating the session-wide
       // partitionOverwriteMode would silently change unrelated writes
       toWrite.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tile_id")
         .parquet(s"$tableDir/$DataDir")
-      // job committed: now (and only now) record lineage
+      // job committed: now (and only now) record lineage — per-tile rows and
+      // bytes from a distributed scan of the committed files' metadata
+      // (reading back what the job ACTUALLY wrote, not what it intended to)
       val now = System.currentTimeMillis()
-      val records = counts.toSeq.map { case (t, n) =>
-        val bytes = dirBytes(s"$tableDir/$DataDir/tile_id=$t")
-        (t, n, bytes, attempt, now)
-      }
-      records.toDF("tile_id", "rows", "bytes", "attempt", "completed_at_ms")
-        .coalesce(1)
+      // the hidden _metadata column must be projected at the scan itself
+      // (it does not resolve through joins/projections added later)
+      val perFile = readTable(spark, tableDir)
+        .select($"tile_id".cast("string").as("tile_id"),
+                col("_metadata.file_path").as("file"),
+                col("_metadata.file_size").as("file_bytes"))
+        .join(broadcast(todoTiles), Seq("tile_id"), "left_semi")
+        .groupBy($"tile_id", $"file")
+        .agg(count(lit(1)).as("rows"), first($"file_bytes").as("bytes"))
+      val records = perFile.groupBy($"tile_id")
+        .agg(sum($"rows").as("rows"), sum($"bytes").as("bytes"))
+        .select($"tile_id", $"rows", $"bytes",
+                lit(attempt).as("attempt"), lit(now).as("completed_at_ms"))
+        .localCheckpoint(true)
+      records.coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$tableDir/$LineageDir")
+      val agg = records.agg(count(lit(1)), coalesce(sum($"rows"), lit(0L))).head()
+      RunStats(total, total - nTodo, agg.getLong(0), agg.getLong(1))
+    } else {
+      RunStats(total, total, 0L, 0L)
     }
-    RunStats(total, done.count(), counts.length, counts.map(_._2).sum)
-  }
-
-  private def dirBytes(path: String): Long = {
-    val d = new java.io.File(path)
-    if (!d.exists()) 0L
-    else d.listFiles().filter(_.isFile).map(_.length()).sum
   }
 }

@@ -1,15 +1,14 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.extract.InterleavedDocs
 
 /**
  * Multimodal columns: image/audio/video as opaque `binary` columns with
  * typed metadata, plus decode / feature-extract / resize / frame-sample
- * stages. The Spark-side plumbing — schema, per-partition batch iteration,
+ * stages. The Spark-side plumbing — schema, codegen-friendly decode UDF,
  * column pruning, deterministic synthesis — is real and tested; the actual
  * pixel/sample decode is a clearly marked deterministic fake ("STUB"),
  * because no image/audio codec library exists in this container (per the
@@ -64,23 +63,14 @@ object MediaPipeline {
     Array(mean / 255.0, min / 255.0, max / 255.0, bytes.length.toDouble)
   }
 
-  private val featSchema = ArrayType(DoubleType, containsNull = false)
+  private val decodeUdf = udf(decodeStub _)
 
-  /** Feature extraction over the binary column: one mapPartitions batch per
-    * partition (the Scala analog of mapInPandas batch shape — each partition
-    * iterates its rows once, decode amortized across the batch). */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(media.schema.fields :+ StructField("features", featSchema, nullable = false))
-    val bytesIdx = media.schema.fieldIndex("bytes")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val feats = decodeStub(r.getAs[Array[Byte]](bytesIdx))
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  /** Feature extraction over the binary column as a typed UDF on `bytes`
+    * only — the rest of the row never leaves Tungsten format, column pruning
+    * and whole-stage codegen survive downstream (an earlier `df.rdd`
+    * round-trip here broke both for the entire remaining plan). */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.withColumn("features", decodeUdf(col("bytes")))
 
   /** Resize plan (metadata transform, pure Column arithmetic): fit into a
     * maxDim box preserving aspect ratio, never upscaling. Integer math so
