@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
  *         WCSAdapter.java:344-365)
  *  - q24: nearest-neighbor resample as pure affine arithmetic (J3/W2,
  *         RasterEncoder.java:361-390)
+ *  - q63: CRS reprojection 3857 source -> 4326 target (J3,
+ *         RasterEncoder.java:376-389)
+ *  - q64: mixed-CRS mosaic through the engine's Mosaic/Resample CRS hook
+ *         (StacResource.java:421-427)
  */
 object RasterQueries {
 
@@ -149,6 +153,74 @@ object RasterQueries {
         .withColumn("v", (($"sx" * 31 + $"sy" * 17) % 997).cast("double") / 10.0)
         .select($"tx", $"ty", $"sx", $"sy", $"v")
         .orderBy($"tx", $"ty")
+    },
+
+    // CRS reprojection (J3 completion, RasterEncoder.java:376-389): a
+    // 500x500 EPSG:3857 source (1 km cells, x in [-8.5e6, -8e6], y in
+    // [2e5, 7e5], v(sx,sy) = ((sx*31+sy*17)%997)/10) sampled onto a 100x80
+    // EPSG:4326 target (lon [-76,-72], lat [2,6]): each target cell center
+    // is forward-projected to Web Mercator, then the source-grid affine +
+    // nearest kernel. Degree->radian and Mercator math is spelled out
+    // identically in both engines (x/180*pi, not radians()) and the
+    // fractional source coord is ROUND(...,6)'d before FLOOR so a last-ulp
+    // libm difference between JVM Math and DuckDB's C library can't flip a
+    // cell. The engine path (Crs/Resample hook) is covered in CrsSpec.
+    "q63_reproject" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir // source is synthesized; scale-independent golden
+      val R = 6378137.0
+      val target = s.range(1)
+        .select(explode(sequence(lit(0L), lit(100L * 80 - 1))).as("i"))
+        .select(($"i" / 80).cast("long").as("tx"), ($"i" % 80).as("ty"))
+      target
+        .withColumn("wx", lit(-76.0) + ($"tx" + lit(0.5)) * (lit(4.0) / 100))
+        .withColumn("wy", lit(2.0) + ($"ty" + lit(0.5)) * (lit(4.0) / 80))
+        .withColumn("mx", lit(R) * ($"wx" / 180 * lit(math.Pi)))
+        .withColumn("my", lit(R) * log(tan(lit(math.Pi) / 4 + ($"wy" / 180 * lit(math.Pi)) / 2)))
+        .withColumn("sx", floor(round(($"mx" + 8500000.0) / 1000, 6)).cast("long"))
+        .withColumn("sy", floor(round(($"my" - 200000.0) / 1000, 6)).cast("long"))
+        .select($"tx", $"ty", $"sx", $"sy",
+                ((($"sx" * 31 + $"sy" * 17) % 997).cast("double") / 10.0).as("v"))
+        .orderBy($"tx", $"ty")
+    },
+
+    // mixed-CRS mosaic (StacResource.java:421-427 unify-to-4326): 25 items,
+    // even nation keys georeferenced in EPSG:4326 (0.1 deg cells), odd keys
+    // in EPSG:3857 (12 km cells), SUBSTITUTE-merged onto a 100x80 EPSG:4326
+    // region through the engine's Mosaic/Resample CRS hook; the oracle
+    // replays the per-cell forward projection + source affine in SQL.
+    "q64_mosaic_mixed_crs" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      val items = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].map { k =>
+          val w = 30; val h = 20
+          val vals = Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)
+          if (k % 2 == 0)
+            Raster(f"item-$k%03d", k, w, h,
+                   k * 0.3, k * 0.3 + 3.0, k * 0.2, k * 0.2 + 2.0, 4326, Seq(vals))
+          else
+            Raster(f"item-$k%03d", k, w, h,
+                   k * 33000.0, k * 33000.0 + 360000.0,
+                   k * 22000.0, k * 22000.0 + 240000.0, 3857, Seq(vals))
+        }
+      val region = TileGeometry(100, 80, 0.0, 10.0, 0.0, 8.0, 4326, 0L, 0L)
+      val cw = region.cellWidth; val ch = region.cellHeight
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       maxCells = 2000L)
+        .flatMap { r =>
+          val x0 = math.round((r.minX - 0.0) / cw).toInt
+          val y0 = math.round((r.minY - 0.0) / ch).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
     })
 
   /**
@@ -282,5 +354,65 @@ object RasterQueries {
         |         CAST(FLOOR((ty + 0.5) / 80.0 * 631.0) AS BIGINT) AS sy
         |  FROM t)
         |SELECT tx, ty, sx, sy, CAST((sx * 31 + sy * 17) % 997 AS DOUBLE) / 10.0 AS v
-        |FROM m ORDER BY tx, ty""".stripMargin)
+        |FROM m ORDER BY tx, ty""".stripMargin,
+
+    "q63_reproject" ->
+      """WITH t AS (
+        |  SELECT tx.tx, ty.ty FROM generate_series(0, 99) tx(tx), generate_series(0, 79) ty(ty)),
+        |p AS (
+        |  SELECT tx, ty,
+        |         -76.0E0 + (tx + 0.5E0) * (4.0E0 / 100) AS wx,
+        |         2.0E0 + (ty + 0.5E0) * (4.0E0 / 80) AS wy
+        |  FROM t),
+        |m AS (
+        |  SELECT tx, ty,
+        |         6378137.0E0 * (wx / 180 * pi()) AS mx,
+        |         6378137.0E0 * ln(tan(pi() / 4 + (wy / 180 * pi()) / 2)) AS my
+        |  FROM p),
+        |s AS (
+        |  SELECT tx, ty,
+        |         CAST(FLOOR(ROUND((mx + 8500000.0E0) / 1000, 6)) AS BIGINT) AS sx,
+        |         CAST(FLOOR(ROUND((my - 200000.0E0) / 1000, 6)) AS BIGINT) AS sy
+        |  FROM m)
+        |SELECT tx, ty, sx, sy, CAST((sx * 31 + sy * 17) % 997 AS DOUBLE) / 10.0 AS v
+        |FROM s ORDER BY tx, ty""".stripMargin,
+
+    "q64_mosaic_mixed_crs" ->
+      """WITH cells AS (
+        |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+        |cc AS (
+        |  SELECT cx, cy,
+        |         0.0E0 + (cx + 0.5E0) * ((10.0E0 - 0.0E0) / 100) AS wx,
+        |         0.0E0 + (cy + 0.5E0) * ((8.0E0 - 0.0E0) / 80) AS wy
+        |  FROM cells),
+        |items AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |         n_nationkey % 2 = 0 AS deg,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 0.3E0
+        |              ELSE n_nationkey * 33000.0E0 END AS x0,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 0.3E0 + 3.0E0
+        |              ELSE n_nationkey * 33000.0E0 + 360000.0E0 END AS x1,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 0.2E0
+        |              ELSE n_nationkey * 22000.0E0 END AS y0,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 0.2E0 + 2.0E0
+        |              ELSE n_nationkey * 22000.0E0 + 240000.0E0 END AS y1
+        |  FROM nation),
+        |proj AS (
+        |  SELECT c.cx, c.cy, i.k, i.x0, i.x1, i.y0, i.y1,
+        |         CASE WHEN i.deg THEN c.wx
+        |              ELSE 6378137.0E0 * (c.wx / 180 * pi()) END AS u,
+        |         CASE WHEN i.deg THEN c.wy
+        |              ELSE 6378137.0E0 * ln(tan(pi() / 4 + (c.wy / 180 * pi()) / 2)) END AS v
+        |  FROM cc c, items i),
+        |contrib AS (
+        |  SELECT cx, cy, k,
+        |         CAST(k * 1000
+        |           + (LEAST(GREATEST(CAST(FLOOR((u - x0) / ((x1 - x0) / 30)) AS BIGINT), 0), 29) * 31
+        |            + LEAST(GREATEST(CAST(FLOOR((v - y0) / ((y1 - y0) / 20)) AS BIGINT), 0), 19) * 17) % 97
+        |           AS DOUBLE) AS val
+        |  FROM proj WHERE u >= x0 AND u < x1 AND v >= y0 AND v < y1),
+        |m AS (SELECT cx, cy, arg_max(val, k) AS v FROM contrib GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
+        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+        |ORDER BY c.cx, c.cy""".stripMargin)
 }

@@ -75,21 +75,29 @@ object Mosaic {
     val ny = (region.height + side - 1) / side
     val cw = region.cellWidth; val ch = region.cellHeight
     // apron: 2 source cells (bicubic support) expressed in world units of the
-    // item's own resolution, applied on the tile bbox intersection test
+    // item's own resolution, applied on the tile bbox intersection test.
+    // Items in a different CRS are prefiltered by their envelope transformed
+    // into the REGION frame (conservative boundary-sampled bbox,
+    // Crs.transformEnvelope) — the per-cell coverage test in the merge
+    // refines exactly, so over-assignment only costs a little extra work.
     val assigned = items.flatMap { r =>
-      val ax = 2 * r.geom.cellWidth; val ay = 2 * r.geom.cellHeight
+      val (eMinX, eMaxX, eMinY, eMaxY) =
+        if (r.epsg == region.epsg) (r.minX, r.maxX, r.minY, r.maxY)
+        else Crs.transformEnvelope(r.epsg, region.epsg, r.minX, r.maxX, r.minY, r.maxY)
+      // item resolution re-expressed in region units via the envelope span
+      val ax = 2 * (eMaxX - eMinX) / r.width; val ay = 2 * (eMaxY - eMinY) / r.height
       @inline def clamp(v: Int, hi: Int) = math.max(0, math.min(v, hi))
-      val txLo = clamp(math.floor((r.minX - ax - region.minX) / cw).toInt / side, nx - 1)
-      val txHi = clamp(math.floor((r.maxX + ax - region.minX) / cw).toInt / side, nx - 1)
-      val tyLo = clamp(math.floor((r.minY - ay - region.minY) / ch).toInt / side, ny - 1)
-      val tyHi = clamp(math.floor((r.maxY + ay - region.minY) / ch).toInt / side, ny - 1)
+      val txLo = clamp(math.floor((eMinX - ax - region.minX) / cw).toInt / side, nx - 1)
+      val txHi = clamp(math.floor((eMaxX + ax - region.minX) / cw).toInt / side, nx - 1)
+      val tyLo = clamp(math.floor((eMinY - ay - region.minY) / ch).toInt / side, ny - 1)
+      val tyHi = clamp(math.floor((eMaxY + ay - region.minY) / ch).toInt / side, ny - 1)
       for {
         tx <- txLo to txHi
         ty <- tyLo to tyHi
         i = tx * ny + ty
         t = tilesB.value(i)._1
-        if r.minX < t.maxX + ax && r.maxX > t.minX - ax &&
-           r.minY < t.maxY + ay && r.maxY > t.minY - ay
+        if eMinX < t.maxX + ax && eMaxX > t.minX - ax &&
+           eMinY < t.maxY + ay && eMaxY > t.minY - ay
       } yield (i, r)
     }
 
@@ -107,8 +115,13 @@ object Mosaic {
         val sorted = frags.sortBy(r => (r.ts, r.item_id))
         val acc = Array.fill(t.width * t.height)(Double.NaN)
         sorted.foreach { r =>
-          // region-anchored sampling: split size never changes values
-          val vals = Resample.toGridAnchored(r, regionB.value, x0, y0, t.width, t.height, kernel)
+          // region-anchored sampling: split size never changes values.
+          // Mixed-CRS items sample through the world->source CRS hook (the
+          // reference's resample-with-CRS, RasterEncoder.java:376-389)
+          val hook = if (r.epsg == regionB.value.epsg) null
+                     else Crs.transform(regionB.value.epsg, r.epsg)
+          val vals = Resample.toGridAnchored(r, regionB.value, x0, y0, t.width, t.height,
+                                             kernel, 0, hook)
           var i = 0
           while (i < acc.length) {
             val v = vals(i)

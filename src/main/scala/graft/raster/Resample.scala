@@ -33,6 +33,35 @@ object Resample {
     case other      => Nearest // reference defaults to nearest (:329)
   }
 
+  /** Strict field parse (RasterAdapter.Interpolation.fromField, :81-88):
+    * unknown names are an error, unlike the lenient [[forName]]. */
+  def fromField(name: String): Kernel = name match {
+    case "nearest"  => Nearest
+    case "bilinear" => Bilinear
+    case "bicubic"  => Bicubic
+    case "bicubic2" => Bicubic2
+    case other =>
+      throw new IllegalArgumentException(s"Unknown interpolation type field: $other")
+  }
+
+  /**
+   * Semantic default chooser (RasterAdapter.Interpolation.getDefaultForType,
+   * :59-79, applied at WCSAdapter.java:262-276): continuous observations
+   * (quantification / measure / valuation / transformation) interpolate
+   * BICUBIC; discrete ones (categorization / verification / detection)
+   * NEAREST — a category must never be blended into a value between two
+   * codes. Any other contextualization is an error, and an explicit
+   * `interpolation` parameter overrides the semantic default.
+   */
+  def forObservable(contextualization: String, param: Option[String] = None): Kernel =
+    param.map(fromField).getOrElse(contextualization.toLowerCase match {
+      case "quantification" | "measure" | "valuation" | "transformation" => Bicubic
+      case "categorization" | "verification" | "detection"               => Nearest
+      case other =>
+        throw new IllegalArgumentException(
+          s"Cannot interpolate data for $other observations")
+    })
+
   @inline private def clamp(i: Int, hi: Int): Int =
     if (i < 0) 0 else if (i > hi) hi else i
 
@@ -92,11 +121,15 @@ object Resample {
     Array(k(f + 1), k(f), k(f - 1), k(f - 2))
   }
 
-  /** Resample a raster onto a target grid (both georeferenced, same CRS):
-    * for each target cell center, map world -> source fractional cell coords
-    * (the grid<->world affine F10) and sample. Out-of-coverage -> NaN. */
-  def toGrid(src: Raster, target: TileGeometry, kernel: Kernel, band: Int = 0): Array[Double] =
-    toGridAnchored(src, target, 0, 0, target.width, target.height, kernel, band)
+  /** Resample a raster onto a target grid: for each target cell center, map
+    * world -> source coords (through the CRS transform when the frames
+    * differ) -> source fractional cell (the grid<->world affine F10) and
+    * sample. Out-of-coverage -> NaN. */
+  def toGrid(src: Raster, target: TileGeometry, kernel: Kernel, band: Int = 0): Array[Double] = {
+    val hook = if (src.epsg == target.epsg) null
+               else Crs.transform(target.epsg, src.epsg)
+    toGridAnchored(src, target, 0, 0, target.width, target.height, kernel, band, hook)
+  }
 
   /**
    * Tile-anchored variant: sample a (w x h) window of `region` starting at
@@ -104,24 +137,46 @@ object Resample {
    * so a region split into tiles yields bit-identical values to the unsplit
    * computation (tile.minX + (x+0.5)*cw and region.minX + (gx+0.5)*cw differ
    * in the last ulp otherwise; split size must never change results).
+   *
+   * `worldToSrc` is the CRS hook (J3, the engine analog of
+   * Operations.DEFAULT.resample with a target CRS, RasterEncoder.java:376-389):
+   * region cell centers are mapped into the SOURCE's coordinate frame before
+   * the source-grid affine; null means same-CRS (the fast separable path).
+   * Coverage is tested in source coordinates, so a reprojected sample is
+   * nodata exactly when it falls outside the source grid.
    */
   def toGridAnchored(src: Raster, region: TileGeometry, x0: Int, y0: Int,
-                     w: Int, h: Int, kernel: Kernel, band: Int = 0): Array[Double] = {
+                     w: Int, h: Int, kernel: Kernel, band: Int = 0,
+                     worldToSrc: (Double, Double) => (Double, Double) = null): Array[Double] = {
     val s = src.geom
     val values = src.bands(band)
     val out = new Array[Double](w * h)
+    val cw = s.cellWidth; val ch = s.cellHeight
     var x = 0
     while (x < w) {
       val wx = region.cellCenterX(x0 + x)
-      val sx = (wx - s.minX) / s.cellWidth
-      var y = 0
-      while (y < h) {
-        val wy = region.cellCenterY(y0 + y)
-        val sy = (wy - s.minY) / s.cellHeight
-        out(x * h + y) =
-          if (wx < s.minX || wx >= s.maxX || wy < s.minY || wy >= s.maxY) Double.NaN
-          else sample(values, s.width, s.height, sx, sy, kernel)
-        y += 1
+      if (worldToSrc == null) {
+        // same-CRS fast path: column coordinate hoisted, no per-cell tuples
+        val sx = (wx - s.minX) / cw
+        var y = 0
+        while (y < h) {
+          val wy = region.cellCenterY(y0 + y)
+          out(x * h + y) =
+            if (wx < s.minX || wx >= s.maxX || wy < s.minY || wy >= s.maxY) Double.NaN
+            else sample(values, s.width, s.height, sx, (wy - s.minY) / ch, kernel)
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          val wy = region.cellCenterY(y0 + y)
+          val (u, v) = worldToSrc(wx, wy)
+          out(x * h + y) =
+            if (u < s.minX || u >= s.maxX || v < s.minY || v >= s.maxY) Double.NaN
+            else sample(values, s.width, s.height,
+                        (u - s.minX) / cw, (v - s.minY) / ch, kernel)
+          y += 1
+        }
       }
       x += 1
     }
