@@ -23,9 +23,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SpatialQueries.queries ++ RasterQueries.queries ++
-      TextQueries.queries ++ AnnQueries.queries ++ DocQueries.queries ++ MediaQueries.queries ++ TerrainQueries.queries
+      TextQueries.queries ++ AnnQueries.queries ++ DocQueries.queries ++ MediaQueries.queries ++
+      TerrainQueries.queries ++ SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ SpatialQueries.oracle ++ RasterQueries.oracle ++
-      TextQueries.oracle ++ AnnQueries.oracle ++ DocQueries.oracle ++ MediaQueries.oracle ++ TerrainQueries.oracle
+      TextQueries.oracle ++ AnnQueries.oracle ++ DocQueries.oracle ++ MediaQueries.oracle ++
+      TerrainQueries.oracle ++ SourceQueries.oracle
 }

@@ -1,0 +1,155 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StacCatalog, StacIngest, WcsXml}
+
+/**
+ * Wire-format ingest queries: actual STAC JSON documents through `from_json`
+ * (S6/F6) and actual WCS XML through the DOM parser (S4/S5/F7). Both
+ * synthesize their documents deterministically from the events/nation tables
+ * — the SPARK side must round-trip every field through the real document
+ * text and parser, while the DuckDB oracle replays only the generation
+ * arithmetic, so any parse defect shows up as a mismatch.
+ */
+object SourceQueries {
+
+  /** q65 search window: 2024-01-08T00:00Z .. 2024-01-20T00:00Z. */
+  private val QStart = 1704672000000L
+  private val QEnd = 1705708800000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STAC item-JSON ingest -> searchItems -> asset/link resolution:
+    // even ids carry a GeoJSON Polygon geometry, odd ids only a bbox (the
+    // two item-footprint paths of StacResource.java:515-529); datetime is a
+    // microsecond ISO string; the B01 asset resolves via its eo:bands name
+    // "red" with the png thumb filtered out as unsupported media, and the
+    // s3:// href is rewritten to cloudferro https
+    "q65_stac_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id", $"ts")
+        .withColumn("minx", lit(-76.0) + ($"event_id" % 40).cast("double") * 0.05)
+        .withColumn("miny", lit(2.0) + ($"event_id" % 30).cast("double") * 0.04)
+        .withColumn("maxx", $"minx" + 0.1)
+        .withColumn("maxy", $"miny" + 0.08)
+        .withColumn("epsg",
+          when($"event_id" % 3 === 0, 4326).when($"event_id" % 3 === 1, 3857).otherwise(32618))
+        .withColumn("dt",
+          date_format($"ts".cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .withColumn("eid", $"event_id".cast("string"))
+      def d(c: String): org.apache.spark.sql.Column = col(c).cast("string")
+      val footprint = when($"event_id" % 2 === 0,
+        concat(lit("\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+          d("minx"), lit(","), d("miny"), lit("],["),
+          d("maxx"), lit(","), d("miny"), lit("],["),
+          d("maxx"), lit(","), d("maxy"), lit("],["),
+          d("minx"), lit(","), d("maxy"), lit("],["),
+          d("minx"), lit(","), d("miny"), lit("]]]}")))
+        .otherwise(concat(lit("\"bbox\":["),
+          d("minx"), lit(","), d("miny"), lit(","), d("maxx"), lit(","), d("maxy"), lit("]")))
+      val doc = concat(
+        lit("{\"type\":\"Feature\",\"stac_version\":\"1.0.0\",\"id\":\"item-"), $"eid", lit("\","),
+        footprint,
+        lit(",\"properties\":{\"datetime\":\""), $"dt",
+        lit("\",\"proj:epsg\":"), $"epsg".cast("string"), lit("},"),
+        lit("\"assets\":{\"B01\":{\"href\":\"s3://eodata-waw4-1/items/item-"), $"eid",
+        lit("/B01.tif\",\"type\":\"image/tiff; application=geotiff\"," +
+            "\"eo:bands\":[{\"name\":\"red\"}]}," +
+            "\"thumb\":{\"href\":\"https://cat/thumb/item-"), $"eid",
+        lit(".png\",\"type\":\"image/png\"}},"),
+        lit("\"links\":[{\"rel\":\"self\",\"href\":\"https://cat/items/item-"), $"eid",
+        lit(".json\"},{\"rel\":\"collection\",\"href\":\"./collection.json\"}]}"))
+      val items = StacIngest.parseItems(ev.select(doc.as("doc")), "doc")
+      StacCatalog.searchItems(items, (-75.5, -74.5, 2.5, 3.5), QStart, QEnd)
+        .select($"item_id", $"epsg".cast("bigint").as("epsg"), $"ts",
+                StacIngest.assetHref($"assets", "red").as("href"),
+                StacIngest.linkTo($"links", "self").as("self_href"))
+        .orderBy($"item_id")
+    },
+
+    // WCS DescribeCoverage XML -> catalog Layer rows through the DOM parser
+    // running as a distributed UDF: envelope corners (whitespace parse F4),
+    // urn-form EPSG (F9), grid shape high-low, and the two nodata channels
+    // (degenerate AllowedValues interval + nilValue)
+    "q66_wcs_describe" -> { (s, dir) =>
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", $"k" * 1000).withColumn("x1", $"k" * 1000 + 500)
+        .withColumn("y0", $"k" * 2000).withColumn("y1", $"k" * 2000 + 800)
+        .withColumn("w", $"k" + 100).withColumn("h", $"k" + 200)
+        .withColumn("code", when($"k" % 2 === 0, 3857).otherwise(32633))
+      val xml = concat(
+        lit("<wcs:CoverageDescriptions xmlns:wcs=\"http://www.opengis.net/wcs/2.0\" " +
+            "xmlns:gml=\"http://www.opengis.net/gml/3.2\" " +
+            "xmlns:swe=\"http://www.opengis.net/swe/2.0\">" +
+            "<wcs:CoverageDescription><wcs:CoverageId>layer__"), $"k".cast("string"),
+        lit("</wcs:CoverageId><gml:boundedBy><gml:Envelope srsName=\"urn:ogc:def:crs:EPSG::"),
+        $"code".cast("string"),
+        lit("\"><gml:lowerCorner>"), $"x0".cast("string"), lit(" "), $"y0".cast("string"),
+        lit("</gml:lowerCorner><gml:upperCorner>"), $"x1".cast("string"), lit(" "),
+        $"y1".cast("string"),
+        lit("</gml:upperCorner></gml:Envelope></gml:boundedBy>" +
+            "<gml:domainSet><gml:RectifiedGrid><gml:limits><gml:GridEnvelope>" +
+            "<gml:low>0 0</gml:low><gml:high>"),
+        $"w".cast("string"), lit(" "), $"h".cast("string"),
+        lit("</gml:high></gml:GridEnvelope></gml:limits></gml:RectifiedGrid></gml:domainSet>" +
+            "<gmlcov:rangeType xmlns:gmlcov=\"http://www.opengis.net/gmlcov/1.0\">" +
+            "<swe:DataRecord><swe:field name=\"band1\"><swe:Quantity>" +
+            "<swe:nilValues><swe:NilValues><swe:nilValue reason=\"\">-9999</swe:nilValue>" +
+            "</swe:NilValues></swe:nilValues><swe:constraint><swe:AllowedValues><swe:interval>"),
+        $"k".cast("string"), lit(" "), $"k".cast("string"),
+        lit("</swe:interval></swe:AllowedValues></swe:constraint>" +
+            "</swe:Quantity></swe:field></swe:DataRecord></gmlcov:rangeType>" +
+            "</wcs:CoverageDescription></wcs:CoverageDescriptions>"))
+      val parse = udf { xmlStr: String =>
+        val l = WcsXml.parseDescribeCoverage(xmlStr, 2, 0L)
+        (l.identifier, l.minX, l.maxX, l.minY, l.maxY, l.epsg.toLong,
+         l.gridW.toLong, l.gridH.toLong, l.nodata.headOption.getOrElse(Double.NaN),
+         l.nodata.lift(1).getOrElse(Double.NaN))
+      }
+      base.select(parse(xml).as("l"))
+        .select($"l._1".as("identifier"),
+                $"l._2".as("minx"), $"l._3".as("maxx"),
+                $"l._4".as("miny"), $"l._5".as("maxy"),
+                $"l._6".as("epsg"), $"l._7".as("gridw"), $"l._8".as("gridh"),
+                $"l._9".as("nodata1"), $"l._10".as("nodata2"))
+        .orderBy($"identifier")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q65_stac_ingest" ->
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |         -76.0E0 + (event_id % 40) * 0.05E0 AS minx,
+         |         2.0E0 + (event_id % 30) * 0.04E0 AS miny,
+         |         epoch_ms(ts) AS ms,
+         |         CASE WHEN event_id % 3 = 0 THEN 4326
+         |              WHEN event_id % 3 = 1 THEN 3857 ELSE 32618 END AS epsg
+         |  FROM events)
+         |SELECT concat('item-', CAST(event_id AS VARCHAR)) AS item_id,
+         |       CAST(epsg AS BIGINT) AS epsg, ms AS ts,
+         |       concat('https://s3.waw4-1.cloudferro.com/swift/v1/eodata-waw4-1/items/item-',
+         |              CAST(event_id AS VARCHAR), '/B01.tif') AS href,
+         |       concat('https://cat/items/item-', CAST(event_id AS VARCHAR), '.json') AS self_href
+         |FROM e
+         |WHERE minx < -74.5E0 AND minx + 0.1E0 > -75.5E0
+         |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
+         |  AND ms >= $QStart AND ms <= $QEnd
+         |ORDER BY item_id""".stripMargin,
+
+    "q66_wcs_describe" ->
+      """SELECT concat('layer__', CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR)) AS identifier,
+        |       CAST(CAST(n_nationkey AS BIGINT) * 1000 AS DOUBLE) AS minx,
+        |       CAST(CAST(n_nationkey AS BIGINT) * 1000 + 500 AS DOUBLE) AS maxx,
+        |       CAST(CAST(n_nationkey AS BIGINT) * 2000 AS DOUBLE) AS miny,
+        |       CAST(CAST(n_nationkey AS BIGINT) * 2000 + 800 AS DOUBLE) AS maxy,
+        |       CAST(CASE WHEN n_nationkey % 2 = 0 THEN 3857 ELSE 32633 END AS BIGINT) AS epsg,
+        |       CAST(n_nationkey AS BIGINT) + 100 AS gridw,
+        |       CAST(n_nationkey AS BIGINT) + 200 AS gridh,
+        |       CAST(CAST(n_nationkey AS BIGINT) AS DOUBLE) AS nodata1,
+        |       -9999.0E0 AS nodata2
+        |FROM nation ORDER BY identifier""".stripMargin)
+}
