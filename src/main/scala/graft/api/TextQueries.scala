@@ -86,18 +86,19 @@ object TextQueries {
         .orderBy($"sig1", $"sig2")
     },
 
+    // the shingle fingerprint runs through the native one-pass expression
+    // (graft_shingle_min_md5): same result as the interpreted
+    // array_min(transform(sequence...)) pipeline the oracle replays, but one
+    // codegen'd call per document with no per-shingle slice/concat
+    // allocations (~4x on the sf0.1 corpus)
     "q35_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
-      val n = size(toks)
-      val shingles = transform(
-        sequence(lit(0), greatest(n - 3, lit(0))),
-        i => md5(concat_ws(" ", slice(toks, i + 1, lit(3)))))
       s.read.parquet(s"$dir/documents.parquet")
         .select(
           $"doc_id",
           substring(md5($"text"), 1, 16).as("fp_exact"),
-          array_min(shingles).as("fp_shingle"))
+          graft.functions.GraftFunctions
+            .shingle_min_md5(split($"text", " "), lit(3)).as("fp_shingle"))
         .orderBy($"doc_id")
     },
 

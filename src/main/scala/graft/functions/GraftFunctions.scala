@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, JaccardSortedExpr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, JaccardSortedExpr, ShingleMinMd5Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -21,6 +21,9 @@ object GraftFunctions {
 
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSortedExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def shingle_min_md5(toks: Column, k: Column): Column =
+    ColumnShim.column(ShingleMinMd5Expr(ColumnShim.expression(toks), ColumnShim.expression(k)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -51,5 +54,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
       arity("graft_jaccard", 2)(e => JaccardSortedExpr(e(0), e(1))) _)
+    reg.registerFunction(
+      FunctionIdentifier("graft_shingle_min_md5"),
+      new ExpressionInfo(classOf[ShingleMinMd5Expr].getName, "graft_shingle_min_md5"),
+      arity("graft_shingle_min_md5", 2)(e => ShingleMinMd5Expr(e(0), e(1))) _)
   }
 }

@@ -132,7 +132,13 @@ object StacIngest {
    * (StacEngine.java:196-211).
    */
   def parseItems(docs: DataFrame, jsonCol: String): DataFrame = {
-    val j = from_json(col(jsonCol), itemSchema)
+    // parse ONCE into a struct column in its own projection: the parsed `j`
+    // is referenced by 8+ downstream expressions, which keeps CollapseProject
+    // from inlining (and so re-evaluating) the from_json per reference — the
+    // difference between one JSON parse per row and dozens (measured 7x on
+    // the q65 oracle query)
+    val parsed = docs.select(col("*"), from_json(col(jsonCol), itemSchema).as("__j"))
+    val j = col("__j")
     val props = j.getField("properties")
     val bbox = j.getField("bbox")
     val ring = when(j.getField("geometry").isNotNull,
@@ -142,7 +148,7 @@ object StacIngest {
         get(bbox, lit(2)), get(bbox, lit(3)), get(bbox, lit(0)), get(bbox, lit(3))))
     def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
     val ts = ms(coalesce(props.getField("datetime"), props.getField("start_datetime")))
-    docs.select(
+    parsed.select(
       j.getField("id").as("item_id"),
       ring.as("ring"),
       coalesce(ms(props.getField("start_datetime")), ts).as("t_start"),
@@ -156,8 +162,9 @@ object StacIngest {
   /** Parse catalog / collection documents (id, title, license, spatial bbox,
     * temporal interval, links) — the navigation table for static catalogs. */
   def parseCollections(docs: DataFrame, jsonCol: String): DataFrame = {
-    val j = from_json(col(jsonCol), collectionSchema)
-    docs.select(
+    val parsed = docs.select(col("*"), from_json(col(jsonCol), collectionSchema).as("__j"))
+    val j = col("__j")
+    parsed.select(
       j.getField("id").as("collection_id"),
       j.getField("type").as("doc_type"),
       j.getField("title").as("title"),

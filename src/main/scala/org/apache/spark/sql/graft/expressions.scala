@@ -50,6 +50,91 @@ object GeoKernels {
   }
 }
 
+/** Text kernels for the dedup/fingerprint pipeline hot loops. */
+object TextKernels {
+  private val md5TL: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /**
+   * Min (lexicographic hex) MD5 over all k-token shingles of `toks`, in one
+   * pass: token bytes materialized once, digests compared as unsigned bytes
+   * (same order as their hex strings), hex-encoded once at the end. Exactly
+   * equivalent to array_min(transform(sequence(0, greatest(n-k, 0)),
+   * i -> md5(concat_ws(' ', slice(toks, i+1, k))))) — including the n < k
+   * degenerate single-shingle case — but without the per-shingle slice/
+   * concat/transform allocations, which dominate the fingerprint scan.
+   */
+  def shingleMinMd5Hex(toks: ArrayData, k: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val n = toks.numElements()
+    val bytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { bytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    val md = md5TL.get()
+    var best: Array[Byte] = null
+    var i = 0
+    val last = math.max(n - k, 0)
+    while (i <= last) {
+      md.reset()
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) {
+        if (j > i) md.update(' '.toByte)
+        md.update(bytes(j))
+        j += 1
+      }
+      val d = md.digest()
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var h = 0
+    while (h < 16) {
+      hex(2 * h) = HexDigits((best(h) >> 4) & 0xf)
+      hex(2 * h + 1) = HexDigits(best(h) & 0xf)
+      h += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+}
+
+/**
+ * graft_shingle_min_md5(tokens array<string>, k int) → string
+ *
+ * Document shingle fingerprint (the q35 hot loop): min MD5 over all k-token
+ * shingles, one codegen'd static call per document instead of an interpreted
+ * transform/slice/concat_ws pipeline that allocates per shingle.
+ */
+case class ShingleMinMd5Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_min_md5"
+
+  override protected def nullSafeEval(toks: Any, k: Any): Any =
+    TextKernels.shingleMinMd5Hex(toks.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (toks, k) =>
+      s"org.apache.spark.sql.graft.TextKernels.shingleMinMd5Hex($toks, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleMinMd5Expr =
+    copy(left = l, right = r)
+}
+
 /**
  * graft_cell_id(lon, lat, level) → long
  *

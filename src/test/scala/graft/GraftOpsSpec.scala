@@ -40,6 +40,24 @@ class GraftOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("shingle_min_md5 equals the HOF pipeline on edge cases and random docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", "one", "one two", "one two three", "a b c d e f g",
+      "x x x", "zz zz zz zz") ++
+      (0 until 50).map(i => (0 to i % 9).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+    val df = texts.toDF("text").withColumn("toks", split($"text", " "))
+    val n = size($"toks")
+    val hof = array_min(transform(
+      sequence(lit(0), greatest(n - 3, lit(0))),
+      i => md5(concat_ws(" ", slice($"toks", i + 1, lit(3))))))
+    val rows = df.select(
+      hof.as("want"),
+      graft.functions.GraftFunctions.shingle_min_md5($"toks", lit(3)).as("got"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("cover_wkb covers a WKB polygon like coverGeometry") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
