@@ -184,6 +184,42 @@ object RasterQueries {
         .orderBy($"tx", $"ty")
     },
 
+    // kernel-switched mosaic (W2 + the semantic chooser's override path,
+    // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
+    // coarser region — every target cell center lands exactly between four
+    // source centers (fx = fy = 0.5), so the blend is exact quarter
+    // arithmetic the oracle replays (border taps clamp, reference JAI
+    // behavior). Kernel selected via forObservable("quantification",
+    // Some("bilinear")) — the explicit-parameter override.
+    "q67_mosaic_bilinear" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      val items = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].map { k =>
+          val w = 30; val h = 20
+          Raster(f"item-$k%03d", k, w, h,
+                 k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
+                 Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+        }
+      val region = TileGeometry(50, 40, 0.0, 100.0, 0.0, 80.0, 4326, 0L, 0L)
+      val kernel = graft.raster.Resample.forObservable("quantification", Some("bilinear"))
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       kernel, maxCells = 500L)
+        .flatMap { r =>
+          val x0 = math.round(r.minX / 2.0).toInt
+          val y0 = math.round(r.minY / 2.0).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 40 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // mixed-CRS mosaic (StacResource.java:421-427 unify-to-4326): 25 items,
     // even nation keys georeferenced in EPSG:4326 (0.1 deg cells), odd keys
     // in EPSG:3857 (12 km cells), SUBSTITUTE-merged onto a 100x80 EPSG:4326
@@ -355,6 +391,33 @@ object RasterQueries {
         |  FROM t)
         |SELECT tx, ty, sx, sy, CAST((sx * 31 + sy * 17) % 997 AS DOUBLE) / 10.0 AS v
         |FROM m ORDER BY tx, ty""".stripMargin,
+
+    "q67_mosaic_bilinear" ->
+      """WITH cells AS (
+        |  SELECT cx.cx, cy.cy FROM generate_series(0, 49) cx(cx), generate_series(0, 39) cy(cy)),
+        |cc AS (
+        |  SELECT cx, cy, 2 * cx + 1 AS wx, 2 * cy + 1 AS wy FROM cells),
+        |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |hits AS (
+        |  SELECT c.cx, c.cy, i.k,
+        |         GREATEST(c.wx - i.k * 3 - 1, 0) AS xa,
+        |         LEAST(c.wx - i.k * 3, 29) AS xb,
+        |         GREATEST(c.wy - i.k * 2 - 1, 0) AS ya,
+        |         LEAST(c.wy - i.k * 2, 19) AS yb
+        |  FROM cc c, items i
+        |  WHERE c.wx >= i.k * 3 AND c.wx < i.k * 3 + 30
+        |    AND c.wy >= i.k * 2 AND c.wy < i.k * 2 + 20),
+        |contrib AS (
+        |  SELECT cx, cy, k,
+        |         ((CAST(k * 1000 + (xa * 31 + ya * 17) % 97 AS DOUBLE) * 0.5
+        |           + CAST(k * 1000 + (xb * 31 + ya * 17) % 97 AS DOUBLE) * 0.5) * 0.5
+        |          + (CAST(k * 1000 + (xa * 31 + yb * 17) % 97 AS DOUBLE) * 0.5
+        |           + CAST(k * 1000 + (xb * 31 + yb * 17) % 97 AS DOUBLE) * 0.5) * 0.5) AS val
+        |  FROM hits),
+        |m AS (SELECT cx, cy, arg_max(val, k) AS v FROM contrib GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, c.cx * 40 + c.cy AS cell_idx, m.v
+        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+        |ORDER BY c.cx, c.cy""".stripMargin,
 
     "q63_reproject" ->
       """WITH t AS (
