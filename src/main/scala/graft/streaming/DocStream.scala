@@ -64,22 +64,43 @@ object DocStream {
   final case class DedupState(firstDocId: Long)
   final case class DedupOut(doc_id: Long, text_hash: String, is_duplicate: Boolean, first_doc_id: Long)
 
+  /** The per-group dedup transition, factored out so the timeout branch is
+    * unit-testable with TestGroupState. On a processing-time timeout the
+    * state is REMOVED (the hash can be "first-seen" again afterwards — the
+    * standard bounded-state trade of streaming dedup); otherwise first-seen
+    * wins and the TTL clock is extended on every arrival. */
+  private[graft] def dedupUpdate(ttlMs: Long)(
+      hash: String, rows: Iterator[(Long, String)],
+      state: GroupState[DedupState]): Seq[DedupOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Seq.empty
+    } else {
+      val sorted = rows.map(_._1).toSeq.sorted
+      val first = state.getOption.map(_.firstDocId).getOrElse(sorted.head)
+      if (!state.exists) state.update(DedupState(first))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      sorted.map(id => DedupOut(id, hash, id != first, first))
+    }
+  }
+
   /** Stateful streaming dedup: the first doc_id seen for a text hash owns
-    * it; later arrivals are flagged duplicates. State never expires here
-    * (bounded synthetic corpus); production would set a timeout. */
-  def dedupStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    * it; later arrivals are flagged duplicates. `stateTtl` bounds the state
+    * store (hashes idle longer than the TTL are evicted — state must not
+    * grow without bound on an endless corpus); Duration.Zero keeps state
+    * forever (bounded test corpora). */
+  def dedupStream(spark: SparkSession, docs: DataFrame,
+                  stateTtl: scala.concurrent.duration.Duration =
+                    scala.concurrent.duration.Duration.Zero): DataFrame = {
     import spark.implicits._
+    val ttlMs = if (stateTtl.isFinite && stateTtl.toMillis > 0) stateTtl.toMillis else 0L
+    val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     docs
       .select($"doc_id".cast("long").as("doc_id"), md5($"text").as("text_hash"))
       .as[(Long, String)]
       .groupByKey(_._2)
-      .mapGroupsWithState[DedupState, Seq[DedupOut]](GroupStateTimeout.NoTimeout) {
-        (hash: String, rows: Iterator[(Long, String)], state: GroupState[DedupState]) =>
-          val sorted = rows.map(_._1).toSeq.sorted
-          val first = state.getOption.map(_.firstDocId).getOrElse(sorted.head)
-          if (!state.exists) state.update(DedupState(first))
-          sorted.map(id => DedupOut(id, hash, id != first, first))
-      }
+      .mapGroupsWithState[DedupState, Seq[DedupOut]](timeout)(dedupUpdate(ttlMs))
       .flatMap(identity)
       .toDF()
   }

@@ -34,6 +34,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("dedup state transition: TTL set on arrival, state removed on timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // arrival: first-seen wins, timeout clock set
+    val st = TestGroupState.create[DocStream.DedupState](
+      optionalState = org.apache.spark.api.java.Optional.empty[DocStream.DedupState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = DocStream.dedupUpdate(60000L)("h", Iterator((7L, "h"), (3L, "h")), st)
+    assert(out.map(o => (o.doc_id, o.is_duplicate, o.first_doc_id)) ==
+      Seq((3L, false, 3L), (7L, true, 3L)))
+    assert(st.exists && st.get.firstDocId == 3L)
+    assert(st.getTimeoutTimestampMs.isPresent) // TTL armed
+    // timeout fires: state evicted, nothing emitted
+    val st2 = TestGroupState.create[DocStream.DedupState](
+      optionalState = org.apache.spark.api.java.Optional.of(DocStream.DedupState(3L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 120000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out2 = DocStream.dedupUpdate(60000L)("h", Iterator.empty, st2)
+    assert(out2.isEmpty && st2.isRemoved)
+  }
+
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
     import spark.implicits._
     val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
