@@ -10,12 +10,11 @@ import graft.raster.DataKey
 /**
  * Raster import/export (reference S1-S2, S9-S11, O3, F13:
  * library/GeodataIO.java, adapters/raster/RasterEncoder.java:392-431,
- * utils/Viewport.java). GeoTIFF itself needs GeoTools (absent by contract),
- * so the file format here is "graft-raster" — a minimal georeferenced binary
- * container with the same information content (grid + envelope + CRS + bands
- * + nodata-as-NaN); the ingest/export/file-resolution/render logic around it
- * is the real reproduced behavior and a GeoTIFF codec could be dropped in at
- * [[readRaster]]/[[writeRaster]] without touching callers.
+ * utils/Viewport.java). Two on-disk formats behind one entry point:
+ * real single-band GeoTIFF via the pure-Scala [[GeoTiff]] codec (.tif/.tiff
+ * — the reference's native format, no GeoTools needed), and "graft-raster"
+ * (.graster) — a multi-band georeferenced binary container for full-fidelity
+ * engine interchange (all bands + item identity + timestamp).
  */
 object GeodataIO {
 
@@ -35,8 +34,23 @@ object GeodataIO {
         f.exists() && f.canRead
     }
 
-  /** Write a raster to the binary container (S9 stand-in). */
-  def writeRaster(r: Raster, file: File): Unit = {
+  private def isTiff(file: File): Boolean = {
+    val n = file.getName.toLowerCase
+    n.endsWith(".tif") || n.endsWith(".tiff")
+  }
+
+  /** Write a raster (S9): GeoTIFF for .tif/.tiff, container otherwise. */
+  def writeRaster(r: Raster, file: File): Unit =
+    if (isTiff(file)) GeoTiff.write(r, file)
+    else writeContainer(r, file)
+
+  /** Read a raster back (S1 — the `readCoverage` entry point). */
+  def readRaster(file: File): Raster =
+    if (isTiff(file)) GeoTiff.read(file)
+    else readContainer(file)
+
+  /** Write a raster to the multi-band binary container. */
+  def writeContainer(r: Raster, file: File): Unit = {
     val out = new DataOutputStream(new FileOutputStream(file))
     try {
       out.writeInt(Magic)
@@ -50,8 +64,8 @@ object GeodataIO {
     } finally out.close()
   }
 
-  /** Read a raster back (S1 stand-in — the `readCoverage` entry point). */
-  def readRaster(file: File): Raster = {
+  /** Read a raster from the multi-band binary container. */
+  def readContainer(file: File): Raster = {
     val in = new DataInputStream(new FileInputStream(file))
     try {
       require(in.readInt() == Magic, s"${file.getName} is not a graft-raster file")

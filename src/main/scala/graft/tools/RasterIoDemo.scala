@@ -33,6 +33,14 @@ object RasterIoDemo {
     val g = new java.io.File(outDir, "mosaic.graster")
     GeodataIO.writeRaster(full, g)
     val back = GeodataIO.readRaster(g)
+    val t = new java.io.File(outDir, "mosaic.tif")
+    GeodataIO.writeRaster(full, t)
+    val tback = GeodataIO.readRaster(t)
+    val tifOk = tback.width == full.width && tback.height == full.height &&
+      tback.epsg == full.epsg &&
+      tback.bands.head.zip(full.bands.head).forall { case (a, b) =>
+        a == b || (a.isNaN && b.isNaN) }
+    println(s"geotiff_roundtrip_ok=$tifOk tif_bytes=${t.length}")
     println(s"roundtrip_ok=${back.bands.head.sameElements(full.bands.head)} bytes=${g.length()}")
 
     val png = new java.io.File(outDir, "mosaic.png")
