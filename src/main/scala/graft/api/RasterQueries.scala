@@ -184,6 +184,50 @@ object RasterQueries {
         .orderBy($"tx", $"ty")
     },
 
+    // GeoTIFF-backed mosaic (S1 as a DISTRIBUTED scan): the q25 items are
+    // written as real GeoTIFF files (float64, DEFLATE), scanned back with
+    // Spark's binaryFile source and decoded per-executor by the pure-Scala
+    // codec, then merged exactly like q25 — same oracle. Anything lost or
+    // distorted by the TIFF round-trip (values, envelope, timestamps parsed
+    // from the item id) flips the hash compare.
+    "q68_geotiff_mosaic" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      import graft.sources.GeoTiff
+      val srcItems = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].collect().map { k =>
+          val w = 30; val h = 20
+          Raster(f"item-$k%03d", k, w, h,
+                 k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
+                 Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+        }
+      val stage = java.nio.file.Files.createTempDirectory("graft_q68").toFile
+      srcItems.foreach(r => GeoTiff.write(
+        r, new java.io.File(stage, s"${r.item_id}.tif"), deflate = true))
+      val items = s.read.format("binaryFile").load(stage.getAbsolutePath + "/*.tif")
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          GeoTiff.parse(bytes, id, ts = id.stripPrefix("item-").toLong)
+        }
+      val region = TileGeometry(100, 80, 0.0, 100.0, 0.0, 80.0, 4326, 0L, 0L)
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       maxCells = 2000L)
+        .flatMap { r =>
+          val x0 = math.round(r.minX).toInt; val y0 = math.round(r.minY).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // kernel-switched mosaic (W2 + the semantic chooser's override path,
     // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
     // coarser region — every target cell center lands exactly between four
@@ -334,6 +378,7 @@ object RasterQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
+    "q68_geotiff_mosaic" -> mosaicOracle("arg_max(v, k)"),
     "q26_mosaic_sum_grid" -> mosaicOracle("SUM(v)"),
     "q20_bandmix" ->
       """WITH b AS (

@@ -159,14 +159,20 @@ object GeoTiff {
   /** Read a (single-band) GeoTIFF into a [[Raster]]. `item_id` defaults to
     * the file name stem, ts to 0 (the caller owns temporal metadata). */
   def read(file: File, itemId: String = null, ts: Long = 0L): Raster = {
-    val bytes = Files.readAllBytes(Paths.get(file.getPath))
-    require(bytes.length > 8, s"${file.getName}: not a TIFF")
+    val id = if (itemId != null) itemId else file.getName.replaceAll("\\.tiff?$", "")
+    parse(Files.readAllBytes(Paths.get(file.getPath)), id, ts)
+  }
+
+  /** Parse GeoTIFF bytes (the distributed-scan entry: pair with Spark's
+    * binaryFile source — each executor decodes its own files). */
+  def parse(bytes: Array[Byte], itemId: String, ts: Long = 0L): Raster = {
+    require(bytes.length > 8, s"$itemId: not a TIFF")
     val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
     val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
-    require(le || be, s"${file.getName}: bad TIFF byte-order marker")
+    require(le || be, s"$itemId: bad TIFF byte-order marker")
     val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, s"${file.getName}: bad TIFF magic")
+    require(buf.getShort(2) == 42, s"$itemId: bad TIFF magic")
     val ifdOff = buf.getInt(4).toLong & 0xffffffffL
 
     val nEntries = buf.getShort(ifdOff.toInt) & 0xffff
@@ -214,7 +220,7 @@ object GeoTiff {
     }
 
     val w = scalar(TImageWidth).toInt; val h = scalar(TImageLength).toInt
-    require(w > 0 && h > 0, s"${file.getName}: missing image dimensions")
+    require(w > 0 && h > 0, s"$itemId: missing image dimensions")
     require(scalar(TSamplesPerPixel, 1) == 1, "multi-band GeoTIFF not supported")
     val bits = scalar(TBitsPerSample, 1).toInt
     val sampleFormat = scalar(TSampleFormat, 1).toInt // 1 uint, 2 int, 3 float
@@ -273,7 +279,7 @@ object GeoTiff {
     val scale = doubles(TModelPixelScale)
     val tie = doubles(TModelTiepoint)
     require(scale.length >= 2 && tie.length >= 5,
-            s"${file.getName}: missing GeoTIFF georeferencing tags")
+            s"$itemId: missing GeoTIFF georeferencing tags")
     val minX = tie(3) - tie(0) * scale(0)
     val maxY = tie(4) + tie(1) * scale(1)
     val maxX = minX + w * scale(0)
@@ -286,9 +292,7 @@ object GeoTiff {
       case Array(3072L, _, _, code) => code.toInt
     }.getOrElse(4326)
 
-    val id = if (itemId != null) itemId
-             else file.getName.replaceAll("\\.tiff?$", "")
-    Raster(id, ts, w, h, minX, maxX, minY, maxY, epsg, Seq(values))
+    Raster(itemId, ts, w, h, minX, maxX, minY, maxY, epsg, Seq(values))
   }
 
   private def firstValue(inline: Array[Byte], tpe: Int, order: ByteOrder): Long = {
