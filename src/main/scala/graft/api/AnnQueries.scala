@@ -48,7 +48,7 @@ object AnnQueries {
   /** Deterministic pseudo-hyperplanes: table t, plane p, dim d has weight
     * (((t*61 + p)*131 + d*31) % 17) - 8 (integer ladder — exactly replayable
     * in SQL, no RNG). sign bit p = (w . v) >= 0; bucket = 16-bit signature. */
-  private def bucketCol(v: Column, table: Int, planes: Int): Column =
+  private[graft] def bucketCol(v: Column, table: Int, planes: Int): Column =
     (0 until planes).map { pl =>
       val seed = table * 61 + pl
       val proj = aggregate(

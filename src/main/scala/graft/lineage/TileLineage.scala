@@ -95,8 +95,13 @@ object TileLineage {
       val toWrite = if (failTiles.isEmpty) todo
                     else todo.withColumn("tile_id", poison($"tile_id"))
       // per-write option, not session conf: mutating the session-wide
-      // partitionOverwriteMode would silently change unrelated writes
-      toWrite.write.mode(SaveMode.Overwrite)
+      // partitionOverwriteMode would silently change unrelated writes.
+      // repartition by tile_id first: without it every task writes a file
+      // into every tile directory it sees (tasks x tiles tiny files — the
+      // classic dynamic-partition small-file explosion); with it each tile
+      // is exactly one file
+      toWrite.repartition($"tile_id")
+        .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("tile_id")
         .parquet(s"$tableDir/$DataDir")
