@@ -47,16 +47,12 @@ object AnnQueries {
 
   /** Deterministic pseudo-hyperplanes: table t, plane p, dim d has weight
     * (((t*61 + p)*131 + d*31) % 17) - 8 (integer ladder — exactly replayable
-    * in SQL, no RNG). sign bit p = (w . v) >= 0; bucket = 16-bit signature. */
+    * in SQL, no RNG). sign bit p = (w . v) >= 0; bucket = `planes`-bit
+    * signature, computed by the native codegen'd expression (one
+    * allocation-free pass per row; same left-to-right accumulation as the
+    * DuckDB list_dot_product replay). */
   private[graft] def bucketCol(v: Column, table: Int, planes: Int): Column =
-    (0 until planes).map { pl =>
-      val seed = table * 61 + pl
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)),
-          (x, d) => x * (((lit(seed) * 131 + d * 31) % 17) - 8).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0.0, 1L << pl).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.GraftFunctions.hyperplane_bucket(v, lit(table), lit(planes))
 
   private def bucketSql(table: Int, planes: Int): String =
     s"""CAST(${(0 until planes).map { pl =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, JaccardSortedExpr, ShingleMinMd5Expr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, ShingleMinMd5Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -24,6 +24,10 @@ object GraftFunctions {
 
   def shingle_min_md5(toks: Column, k: Column): Column =
     ColumnShim.column(ShingleMinMd5Expr(ColumnShim.expression(toks), ColumnShim.expression(k)))
+
+  def hyperplane_bucket(v: Column, table: Column, planes: Column): Column =
+    ColumnShim.column(HyperplaneBucketExpr(
+      ColumnShim.expression(v), ColumnShim.expression(table), ColumnShim.expression(planes)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -58,5 +62,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_shingle_min_md5"),
       new ExpressionInfo(classOf[ShingleMinMd5Expr].getName, "graft_shingle_min_md5"),
       arity("graft_shingle_min_md5", 2)(e => ShingleMinMd5Expr(e(0), e(1))) _)
+    reg.registerFunction(
+      FunctionIdentifier("graft_hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
+      arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _)
   }
 }

@@ -108,6 +108,65 @@ object TextKernels {
   }
 }
 
+/** Embedding kernels for the ANN/near-dup hot loops. */
+object AnnKernels {
+  /**
+   * All `planes` sign bits of one hyperplane table in a single pass over the
+   * vector — bit p of the result is (w_tp . v) >= 0 with the deterministic
+   * integer-ladder weights w_tp[d] = (((t*61+p)*131 + d*31) % 17) - 8.
+   * Accumulation is per-plane left-to-right over d: bit-identical to the
+   * aggregate(zip_with(...)) Column pipeline it replaces (and to the DuckDB
+   * list_dot_product replay), but one allocation-free call per row instead
+   * of `planes` zipped-array materializations.
+   */
+  def hyperplaneBucket(v: ArrayData, table: Int, planes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val seed = (table * 61 + p) * 131
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += v.getDouble(d) * ((seed + d * 31) % 17 - 8)
+        d += 1
+      }
+      if (acc >= 0.0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+/**
+ * graft_hyperplane_bucket(v array<double>, table int, planes int) → long
+ *
+ * Random-hyperplane LSH signature as a native codegen'd expression — the
+ * per-row cost of the q41/q42 embedding near-dup path (48 projections per
+ * vector across 3 tables).
+ */
+case class HyperplaneBucketExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override protected def nullSafeEval(v: Any, table: Any, planes: Any): Any =
+    AnnKernels.hyperplaneBucket(
+      v.asInstanceOf[ArrayData], table.asInstanceOf[Int], planes.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, t, p) =>
+      s"org.apache.spark.sql.graft.AnnKernels.hyperplaneBucket($v, $t, $p)")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): HyperplaneBucketExpr =
+    copy(first = a, second = b, third = c)
+}
+
 /**
  * graft_shingle_min_md5(tokens array<string>, k int) → string
  *
