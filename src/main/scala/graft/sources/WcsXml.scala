@@ -84,6 +84,14 @@ object WcsXml {
     }
   }
 
+  /** Capabilities XML -> seed catalog rows (the reference's WCSLayer seeding
+    * loop, :726-755): identifier + WGS84 envelope; grid shape and nodata
+    * arrive later from DescribeCoverage. */
+  def layersFromCapabilities(xml: String, fetchedAtMs: Long): Seq[WcsCatalog.Layer] =
+    capabilitySummaries(xml).map { case (id, (minX, maxX, minY, maxY)) =>
+      WcsCatalog.Layer(id, minX, maxX, minY, maxY, 4326, 0, 0, Nil, fetchedAtMs)
+    }
+
   /** DescribeCoverage -> catalog Layer. The default frame is the WGS84 whole
     * world (the reference defaults to its wgs84envelope + lat/lon before any
     * BoundingBox overrides it — :360-362, :420-422). */

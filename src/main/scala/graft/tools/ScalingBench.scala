@@ -64,6 +64,41 @@ object ScalingBench {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Second scaling workload (SCALE_WORKLOAD=lsh): the q42 embedding
+    * near-dup shape — deterministic synthetic 64-d vectors, 3 x 16-plane
+    * native hyperplane signatures, capped bucket self-join, exact-cosine
+    * refine. Bucket-joined by construction (no all-pairs stage); the per-
+    * pair 64-element dot keeps it compute-bound like real refine work. */
+  def lshPipeline(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val emb = spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => sin(($"id" % 100000 + 1) * (d + 7) * 0.0137)).as("v"))
+    val sigs = emb.select($"vec_id",
+        posexplode(array((0 until 3).map(t =>
+          GraftFunctions.hyperplane_bucket($"v", lit(t), lit(16))): _*)))
+      .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
+    val cand = graft.operators.BucketedSelfJoin
+      .pairs(sigs, Seq("t", "bucket"), "vec_id", cap = 200, "scaling")
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // refine payload is float32 + precomputed norm: halves the bytes the
+    // candidate joins shuffle (the TileBuffer narrowing argument applied to
+    // embeddings — refine only needs float precision)
+    val slim = emb.select($"vec_id", $"v".cast("array<float>").as("vf"),
+                          sqrt(dot($"v", $"v")).cast("float").as("vn"))
+    cand
+      .join(slim.select($"vec_id".as("doc_a"), $"vf".as("va"), $"vn".as("na")), "doc_a")
+      .join(slim.select($"vec_id".as("doc_b"), $"vf".as("vb"), $"vn".as("nb")), "doc_b")
+      .filter(aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+        / ($"na" * $"nb") >= 0.9f)
+      .select($"doc_a", $"doc_b")
+  }
+
+  private def workload(spark: SparkSession, n: Long): DataFrame =
+    if (sys.env.getOrElse("SCALE_WORKLOAD", "pip") == "lsh") lshPipeline(spark, n)
+    else pipeline(spark, n)
+
   def runAt(cores: Int, n: Long): (Double, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -77,11 +112,11 @@ object ScalingBench {
     GraftFunctions.register(spark)
     // warmup (JIT + codegen) on 10% of the load, then min-of-3 timed runs
     // (JIT compilation noise on a shared host otherwise dominates)
-    pipeline(spark, n / 10).write.format("noop").mode("overwrite").save()
+    workload(spark, n / 10).write.format("noop").mode("overwrite").save()
     var rows = 0L
     val times = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      rows = pipeline(spark, n).count()
+      rows = workload(spark, n).count()
       (System.nanoTime() - t0) / 1e9
     }
     spark.stop()

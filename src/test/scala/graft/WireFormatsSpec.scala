@@ -234,6 +234,17 @@ class WireFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.nodata == Seq(-99999.0))
   }
 
+  test("capabilities XML seeds the layers catalog end to end") {
+    val layers = WcsXml.layersFromCapabilities(capsV2, fetchedAtMs = 5L)
+    val table = WcsCatalog.layersTable(spark, layers)
+    assert(table.count() == 2)
+    assert(WcsCatalog.containsIdentifier(table, "dem__srtm90"))
+    assert(!WcsCatalog.containsIdentifier(table, "nope"))
+    assert(WcsCatalog.requestIdentifier("dem__srtm90") == "dem:srtm90")
+    assert(layers.forall(l => !WcsCatalog.isExpired(l, 5L + 60000)))
+    assert(layers.forall(l => WcsCatalog.isExpired(l, 5L + WcsCatalog.LayerExpiryMs + 1)))
+  }
+
   test("WCS XML parser refuses doctypes (XXE hardening)") {
     val evil = """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]><x>&e;</x>"""
     intercept[Exception](WcsXml.capabilityIdentifiers(evil, 2))
