@@ -201,9 +201,16 @@ object RasterQueries {
                  k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
                  Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
         }
+      // staged on local disk (this sandbox is local-mode; a cluster stages
+      // to shared storage) and deleted on JVM exit — repeated bench/verify
+      // runs must not leak temp GeoTIFFs
       val stage = java.nio.file.Files.createTempDirectory("graft_q68").toFile
-      srcItems.foreach(r => GeoTiff.write(
-        r, new java.io.File(stage, s"${r.item_id}.tif"), deflate = true))
+      stage.deleteOnExit()
+      srcItems.foreach { r =>
+        val f = new java.io.File(stage, s"${r.item_id}.tif")
+        f.deleteOnExit()
+        GeoTiff.write(r, f, deflate = true)
+      }
       val items = s.read.format("binaryFile").load(stage.getAbsolutePath + "/*.tif")
         .select($"path", $"content")
         .as[(String, Array[Byte])]

@@ -110,11 +110,28 @@ object TileLineage {
       // (reading back what the job ACTUALLY wrote, not what it intended to)
       val now = System.currentTimeMillis()
       // the hidden _metadata column must be projected at the scan itself
-      // (it does not resolve through joins/projections added later)
+      // (it does not resolve through joins/projections added later).
+      // tile_id comes from the PARTITION DIRECTORY NAME in the file path,
+      // not the re-inferred partition column: inference would re-type
+      // numeric-looking ids ("007" -> 7) and the semi-join against the
+      // string todo set would silently drop every row — no lineage, eternal
+      // recompute. The path string is exactly what partitionBy wrote
+      // (modulo Hive %XX escaping, undone here).
+      val unescape = udf { s: String =>
+        val sb = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '%' && i + 2 < s.length) {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
       val perFile = readTable(spark, tableDir)
-        .select($"tile_id".cast("string").as("tile_id"),
-                col("_metadata.file_path").as("file"),
+        .select(col("_metadata.file_path").as("file"),
                 col("_metadata.file_size").as("file_bytes"))
+        .withColumn("tile_id", unescape(regexp_extract($"file", "/tile_id=([^/]+)/", 1)))
         .join(broadcast(todoTiles), Seq("tile_id"), "left_semi")
         .groupBy($"tile_id", $"file")
         .agg(count(lit(1)).as("rows"), first($"file_bytes").as("bytes"))

@@ -101,7 +101,10 @@ object TileBuffer {
       IntBuffer(plane.map { v =>
         if (v.isNaN) intNodata
         else {
-          require(v == math.rint(v), s"non-integral value $v cannot narrow to int")
+          require(v == math.rint(v) && v >= Int.MinValue && v <= Int.MaxValue,
+                  s"value $v cannot narrow to int without loss")
+          require(v.toInt != intNodata,
+                  s"data value $v collides with the int nodata sentinel $intNodata")
           v.toInt
         }
       }, intNodata)

@@ -89,7 +89,9 @@ object GeoTiff {
 
     // layout: header(8) | strip | pixelScale | tiepoint | geoKeys | nodata | IFD
     val stripOff = 8L
-    val scaleOff = stripOff + strip.length
+    // TIFF 6.0: values must begin on a word boundary — an odd-length
+    // DEFLATE strip would otherwise misalign every block after it
+    val scaleOff = stripOff + strip.length + (strip.length & 1)
     val tieOff = scaleOff + 24
     val keysOff = tieOff + 48
     val nodataOff = keysOff + geoKeys.length * 2
@@ -116,6 +118,7 @@ object GeoTiff {
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
     buf.put(strip)
+    if ((strip.length & 1) == 1) buf.put(0.toByte)
     pixelScale.foreach(buf.putDouble)
     tiepoint.foreach(buf.putDouble)
     geoKeys.foreach(k => buf.putShort(k.toShort))
@@ -194,8 +197,19 @@ object GeoTiff {
     def longs(tag: Int): Array[Long] = entries.get(tag) match {
       case None => Array.empty
       case Some(e) =>
-        if (typeSize(e.tpe) * e.count <= 4) Array(e.valueOrOffset)
-        else {
+        if (typeSize(e.tpe) * e.count <= 4) {
+          // inline payload: decode ALL count values from the 4-byte slot
+          // (e.g. two SHORT strip byte-counts fit inline per the TIFF spec)
+          val ib = ByteBuffer.wrap(e.inline).order(order)
+          Array.tabulate(e.count) { i =>
+            e.tpe match {
+              case FtShort => (ib.getShort(2 * i) & 0xffff).toLong
+              case FtLong  => ib.getInt(4 * i).toLong & 0xffffffffL
+              case 1       => e.inline(i).toLong & 0xff
+              case other   => throw new IllegalArgumentException(s"tag ${e.tag} type $other")
+            }
+          }
+        } else {
           val base = e.valueOrOffset.toInt
           Array.tabulate(e.count) { i =>
             e.tpe match {
@@ -286,11 +300,12 @@ object GeoTiff {
     val minY = maxY - h * scale(1)
 
     // EPSG from the GeoKeyDirectory (2048 geographic / 3072 projected)
+    // projected CRS key (3072) takes precedence: projected files carry BOTH
+    // a geographic datum key (2048) and the projected code, and keys are
+    // sorted ascending — matching 2048 first would misread UTM as 4326
     val keys = longs(TGeoKeyDirectory)
-    val epsg = keys.grouped(4).collectFirst {
-      case Array(2048L, _, _, code) => code.toInt
-      case Array(3072L, _, _, code) => code.toInt
-    }.getOrElse(4326)
+    val keyMap = keys.grouped(4).collect { case Array(k, _, _, v) => k -> v.toInt }.toMap
+    val epsg = keyMap.get(3072L).orElse(keyMap.get(2048L)).getOrElse(4326)
 
     Raster(itemId, ts, w, h, minX, maxX, minY, maxY, epsg, Seq(values))
   }

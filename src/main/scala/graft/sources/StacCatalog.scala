@@ -38,14 +38,20 @@ object StacCatalog {
         SupportedRasterMediaTypes.contains(norm) || SupportedVectorMediaTypes.contains(norm)
     }
 
-  /** s3:// -> https rewrite for the cloudferro regions the reference knows
-    * (F12, StacResource.java:390-411); unknown s3 regions pass through. */
+  /** Region marker -> https endpoint prefix for the cloudferro s3 rewrite
+    * (F12, StacResource.java:390-411) — the ONE place the region table
+    * lives; both the Scala and the Column rewrite derive from it. */
+  val S3Rewrites: Seq[(String, String)] = Seq(
+    "waw4-1" -> "https://s3.waw4-1.cloudferro.com/swift/v1/",
+    "waw3-1" -> "https://s3.waw3-1.cloudferro.com/swift/v1/")
+
+  /** s3:// -> https rewrite; unknown s3 regions pass through. */
   def rewriteHref(href: String): String =
-    if (href.startsWith("s3://")) {
-      if (href.contains("waw4-1")) "https://s3.waw4-1.cloudferro.com/swift/v1/" + href.substring(5)
-      else if (href.contains("waw3-1")) "https://s3.waw3-1.cloudferro.com/swift/v1/" + href.substring(5)
-      else href
-    } else href
+    if (href.startsWith("s3://"))
+      S3Rewrites.collectFirst { case (marker, prefix) if href.contains(marker) =>
+        prefix + href.substring(5)
+      }.getOrElse(href)
+    else href
 
   val rewriteHrefUdf = udf(rewriteHref _)
 

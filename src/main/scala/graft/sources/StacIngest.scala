@@ -114,12 +114,12 @@ object StacIngest {
         exists(coalesce(a.getField("eo:bands"), array()),
                b => b.getField("name") === idOrBand)), lit(0))
     val raw = coalesce(idHref, byBand.getField("href"))
-    // s3 -> https rewrite (F12) for the cloudferro regions; unknown pass through
-    when(raw.startsWith("s3://") && raw.contains("waw4-1"),
-         concat(lit("https://s3.waw4-1.cloudferro.com/swift/v1/"), substring(raw, 6, 1000000)))
-      .when(raw.startsWith("s3://") && raw.contains("waw3-1"),
-            concat(lit("https://s3.waw3-1.cloudferro.com/swift/v1/"), substring(raw, 6, 1000000)))
-      .otherwise(raw)
+    // s3 -> https rewrite (F12), derived from the same region table the
+    // Scala path uses (StacCatalog.S3Rewrites); unknown regions pass through
+    StacCatalog.S3Rewrites.foldLeft(raw) { case (acc, (marker, prefix)) =>
+      when(raw.startsWith("s3://") && raw.contains(marker),
+           concat(lit(prefix), substring(raw, 6, 1000000))).otherwise(acc)
+    }
   }
 
   /**
@@ -141,9 +141,14 @@ object StacIngest {
     val j = col("__j")
     val props = j.getField("properties")
     val bbox = j.getField("bbox")
-    val ring = when(j.getField("geometry").isNotNull,
-        flatten(get(j.getField("geometry").getField("coordinates"), lit(0))))
-      .otherwise(array(
+    // footprint: the geometry's outer ring when the POLYGON coordinates
+    // parsed (a MultiPolygon/Point geometry leaves coordinates null in this
+    // schema — partial-result parsing), else the bbox ring; gating on the
+    // geometry struct alone would lose the bbox fallback for those items
+    val coords = j.getField("geometry").getField("coordinates")
+    val ring = coalesce(
+      when(coords.isNotNull, flatten(get(coords, lit(0)))),
+      array(
         get(bbox, lit(0)), get(bbox, lit(1)), get(bbox, lit(2)), get(bbox, lit(1)),
         get(bbox, lit(2)), get(bbox, lit(3)), get(bbox, lit(0)), get(bbox, lit(3))))
     def ms(c: Column): Column = unix_millis(c.cast("timestamp"))

@@ -144,11 +144,18 @@ object WcsXml {
       case Some(e) =>
         val lo = firstText(e, "lowerCorner").map(WcsCatalog.doubleArrayFromString)
         val hi = firstText(e, "upperCorner").map(WcsCatalog.doubleArrayFromString)
-        val code = Option(e.getAttribute("srsName")).filter(_.nonEmpty)
-          .flatMap(WcsCatalog.epsgOf).getOrElse(4326)
+        val srs = Option(e.getAttribute("srsName")).filter(_.nonEmpty)
+        val code = srs.flatMap(WcsCatalog.epsgOf).getOrElse(4326)
+        // the urn EPSG::4326 form is axis-swapped (lat lon) in GML — the
+        // same case the v1 parser skips outright (:365-371); here the
+        // corners are un-swapped so the Layer stays lon/lat like the rest
+        // of the engine
+        val swap = srs.exists(_.endsWith("urn:ogc:def:crs:EPSG::4326")) ||
+                   srs.contains("urn:ogc:def:crs:EPSG::4326")
         ((lo, hi) match {
-          case (Some(l), Some(h)) => (l(0), h(0), l(1), h(1))
-          case _                  => (-180.0, 180.0, -90.0, 90.0)
+          case (Some(l), Some(h)) if swap => (l(1), h(1), l(0), h(0))
+          case (Some(l), Some(h))         => (l(0), h(0), l(1), h(1))
+          case _                          => (-180.0, 180.0, -90.0, 90.0)
         }, code)
       case None => ((-180.0, 180.0, -90.0, 90.0), 4326)
     }

@@ -78,6 +78,7 @@ object ScalingBench {
         posexplode(array((0 until 3).map(t =>
           GraftFunctions.hyperplane_bucket($"v", lit(t), lit(16))): _*)))
       .select($"vec_id", $"pos".as("t"), $"col".as("bucket"))
+      .localCheckpoint(true) // computed once, not per self-join side (as in q42)
     val cand = graft.operators.BucketedSelfJoin
       .pairs(sigs, Seq("t", "bucket"), "vec_id", cap = 200, "scaling")
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>

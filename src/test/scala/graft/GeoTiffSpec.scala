@@ -110,6 +110,56 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("external-writer shapes: two strips with inline SHORT counts, dual geo keys") {
+    // hand-crafted little-endian TIFF the way GDAL-like writers lay it out:
+    // 4x4 float32, TWO strips of 2 rows, StripOffsets/ByteCounts as SHORT
+    // count=2 (inline in the value slot), GeoKeyDirectory carrying BOTH the
+    // geographic datum key (2048=4326) and the projected key (3072=32633)
+    import java.nio.{ByteBuffer, ByteOrder}
+    val w = 4; val h = 4
+    val pix = Array.tabulate(w * h)(i => (i * 3 + 1).toFloat) // rows top-down
+    val strip0 = 8; val strip1 = strip0 + 2 * w * 4
+    val scaleOff = strip1 + 2 * w * 4
+    val tieOff = scaleOff + 24
+    val keysOff = tieOff + 48
+    val geoKeys = Array(1, 1, 0, 3, 1024, 0, 1, 1, 2048, 0, 1, 4326, 3072, 0, 1, 32633)
+    val ifdOff = keysOff + geoKeys.length * 2
+    val entries = 13
+    val buf = ByteBuffer.allocate(ifdOff + 2 + entries * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    pix.foreach(buf.putFloat)
+    Array(0.5, 0.25, 0.0).foreach(buf.putDouble)           // pixel scale
+    Array(0.0, 0.0, 0.0, 100.0, 50.0, 0.0).foreach(buf.putDouble) // tiepoint
+    geoKeys.foreach(k => buf.putShort(k.toShort))
+    def entry(tag: Int, tpe: Int, count: Int)(writeValue: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+      val before = buf.position(); writeValue(buf)
+      while (buf.position() < before + 4) buf.put(0.toByte)
+    }
+    buf.putShort(entries.toShort)
+    entry(256, 4, 1)(_.putInt(w)); entry(257, 4, 1)(_.putInt(h))
+    entry(258, 3, 1)(_.putShort(32)); entry(259, 3, 1)(_.putShort(1))
+    entry(262, 3, 1)(_.putShort(1))
+    entry(273, 3, 2)(b => { b.putShort(strip0.toShort); b.putShort(strip1.toShort) })
+    entry(277, 3, 1)(_.putShort(1)); entry(278, 4, 1)(_.putInt(2))
+    entry(279, 3, 2)(b => { b.putShort((2 * w * 4).toShort); b.putShort((2 * w * 4).toShort) })
+    entry(339, 3, 1)(_.putShort(3))
+    entry(33550, 12, 3)(_.putInt(scaleOff)); entry(33922, 12, 6)(_.putInt(tieOff))
+    entry(34735, 3, geoKeys.length)(_.putInt(keysOff))
+    buf.putInt(0)
+    val f = tmp(".tif")
+    java.nio.file.Files.write(f.toPath, buf.array())
+
+    val r = GeoTiff.read(f)
+    assert(r.epsg == 32633, "projected key must win over the geographic datum key")
+    assert((r.width, r.height) == (4, 4))
+    assert((r.minX, r.maxY) == (100.0, 50.0))
+    assert(r.maxX == 100.0 + 4 * 0.5 && r.minY == 50.0 - 4 * 0.25)
+    // both strips decoded: cell (x, y) with y south-up = pix(row * w + x)
+    for (x <- 0 until 4; row <- 0 until 4)
+      assert(r.bands.head(x * 4 + (3 - row)) == pix(row * 4 + x).toDouble, s"($x,$row)")
+  }
+
   test("reader rejects junk and wrong magic") {
     val f = tmp(".tif")
     java.nio.file.Files.write(f.toPath, "not a tiff at all".getBytes)

@@ -56,6 +56,23 @@ class LineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TileLineage.readTable(spark, dir).count() === 1000)
   }
 
+  test("numeric-looking and escaped tile ids survive partition round-trips") {
+    import spark.implicits._
+    val dir = freshDir()
+    // "007" would re-infer as int 7; "a b" is %-escaped in the path
+    val in = spark.range(0, 90)
+      .select($"id", element_at(array(lit("007"), lit("1e3"), lit("a b")),
+                                ($"id" % 3).cast("int") + 1).as("tile_id"))
+    val s1 = TileLineage.runResumable(spark, in, dir)
+    assert(s1.tilesWritten === 3 && s1.rowsWritten === 90, s1)
+    val lin = TileLineage.lineage(spark, dir)
+      .select($"tile_id").as[String].collect().toSet
+    assert(lin === Set("007", "1e3", "a b"))
+    // resume is a no-op for exactly these ids
+    val s2 = TileLineage.runResumable(spark, in, dir, attempt = 2)
+    assert(s2.tilesWritten === 0 && s2.tilesSkipped === 3, s2)
+  }
+
   test("partially committed run resumes from the lineage log") {
     import spark.implicits._
     val dir = freshDir()

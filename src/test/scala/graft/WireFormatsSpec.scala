@@ -61,6 +61,20 @@ class WireFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("epsg") == 4326)
   }
 
+  test("STAC item parse: non-Polygon geometry falls back to the bbox ring") {
+    import spark.implicits._
+    val multiJson =
+      """{"type":"Feature","id":"multi",
+        |"geometry":{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]]},
+        |"bbox":[0.0,0.0,1.0,1.0],
+        |"properties":{"datetime":"2021-01-01T00:00:00Z"},"assets":{},"links":[]}""".stripMargin.replace("\n", "")
+    val r = StacIngest.parseItems(Seq(multiJson).toDF("doc"), "doc").collect().head
+    // 4-deep MultiPolygon coords can't parse into the Polygon schema ->
+    // the bbox ring must be used, not a null footprint
+    assert(r.getAs[scala.collection.Seq[Double]]("ring") ==
+      Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0))
+  }
+
   test("STAC asset resolution: band-name fallback, media filter, s3 rewrite") {
     import spark.implicits._
     val df = StacIngest.parseItems(Seq(itemJson).toDF("doc"), "doc")
@@ -223,6 +237,25 @@ class WireFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       |    </Range>
       |  </CoverageOffering>
       |</CoverageDescription>""".stripMargin
+
+  test("WCS DescribeCoverage v2: urn-4326 envelope is axis-unswapped (lat lon -> lon lat)") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<wcs:CoverageDescriptions xmlns:wcs="http://www.opengis.net/wcs/2.0" xmlns:gml="http://www.opengis.net/gml/3.2">
+        |  <wcs:CoverageDescription>
+        |    <wcs:CoverageId>ll</wcs:CoverageId>
+        |    <gml:boundedBy>
+        |      <gml:Envelope srsName="urn:ogc:def:crs:EPSG::4326" axisLabels="Lat Long">
+        |        <gml:lowerCorner>4.0 -75.0</gml:lowerCorner>
+        |        <gml:upperCorner>5.0 -74.0</gml:upperCorner>
+        |      </gml:Envelope>
+        |    </gml:boundedBy>
+        |  </wcs:CoverageDescription>
+        |</wcs:CoverageDescriptions>""".stripMargin
+    val l = WcsXml.parseDescribeCoverage(xml, 2, 0L)
+    assert((l.minX, l.maxX, l.minY, l.maxY) == (-75.0, -74.0, 4.0, 5.0))
+    assert(l.epsg == 4326)
+  }
 
   test("WCS DescribeCoverage v1: urn-4326 bbox skipped, EPSG override, Infinity nodata dropped") {
     val l = WcsXml.parseDescribeCoverage(describeV1, 1, 7L)
