@@ -160,6 +160,42 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(r.bands.head(x * 4 + (3 - row)) == pix(row * 4 + x).toDouble, s"($x,$row)")
   }
 
+  test("big-endian (MM) external files read correctly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal MM TIFF: 3x2 float32, one strip, scale/tiepoint georeferencing
+    val w = 3; val h = 2
+    val pix = Array.tabulate(w * h)(i => (i + 1) * 0.5f)
+    val stripOff = 8; val scaleOff = stripOff + w * h * 4
+    val tieOff = scaleOff + 24; val ifdOff = tieOff + 48
+    val nE = 11
+    val buf = ByteBuffer.allocate(ifdOff + 2 + nE * 12 + 4).order(ByteOrder.BIG_ENDIAN)
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOff)
+    pix.foreach(buf.putFloat)
+    Array(1.0, 2.0, 0.0).foreach(buf.putDouble)
+    Array(0.0, 0.0, 0.0, 10.0, 20.0, 0.0).foreach(buf.putDouble)
+    def entry(tag: Int, tpe: Int, count: Int)(wv: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+      val before = buf.position(); wv(buf)
+      while (buf.position() < before + 4) buf.put(0.toByte)
+    }
+    buf.putShort(nE.toShort)
+    entry(256, 4, 1)(_.putInt(w)); entry(257, 4, 1)(_.putInt(h))
+    entry(258, 3, 1)(_.putShort(32)); entry(259, 3, 1)(_.putShort(1))
+    entry(262, 3, 1)(_.putShort(1)); entry(273, 4, 1)(_.putInt(stripOff))
+    entry(278, 4, 1)(_.putInt(h)); entry(279, 4, 1)(_.putInt(w * h * 4))
+    entry(339, 3, 1)(_.putShort(3))
+    entry(33550, 12, 3)(_.putInt(scaleOff)); entry(33922, 12, 6)(_.putInt(tieOff))
+    buf.putInt(0)
+    val f = tmp(".tif")
+    java.nio.file.Files.write(f.toPath, buf.array())
+    val r = GeoTiff.read(f)
+    assert((r.width, r.height) == (3, 2))
+    assert((r.minX, r.maxY) == (10.0, 20.0) && r.maxX == 13.0 && r.minY == 16.0)
+    assert(r.epsg == 4326) // no geo keys -> default
+    for (x <- 0 until w; row <- 0 until h)
+      assert(r.bands.head(x * h + (h - 1 - row)) == pix(row * w + x).toDouble, s"($x,$row)")
+  }
+
   test("reader rejects junk and wrong magic") {
     val f = tmp(".tif")
     java.nio.file.Files.write(f.toPath, "not a tiff at all".getBytes)
