@@ -189,8 +189,11 @@ object AnnQueries {
       .select($"c", posexplode($"q").as(Seq("d", "qv")))
       .groupBy($"c", $"d")
       .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
-      // exact floor division: (s - pmod(s, n)) / n with bigints stays integral
-      .withColumn("m", (($"s" - pmod($"s", $"n")) / $"n").cast("bigint"))
+      // exact floor division: (s - pmod(s, n)) is divisible by n, and `div`
+      // keeps the arithmetic integral at ANY magnitude (double `/` would only
+      // be exact below 2^53 — per-cluster sums of 1e6-quantized vectors
+      // approach that around ~1e9 members)
+      .withColumn("m", expr("(s - pmod(s, n)) div n"))
       .select($"c", $"d", $"m")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
@@ -242,7 +245,7 @@ object AnnQueries {
        |  FROM vdim JOIN home0 h ON vdim.vec_id = h.vec_id GROUP BY 1, 2),
        |m1 AS (
        |  SELECT m0.c, m0.d,
-       |         COALESCE(CAST((msum.s - ((msum.s % msum.n) + msum.n) % msum.n) / msum.n AS BIGINT), m0.w) AS w
+       |         COALESCE(CAST((msum.s - ((msum.s % msum.n) + msum.n) % msum.n) // msum.n AS BIGINT), m0.w) AS w
        |  FROM m0 LEFT JOIN msum ON m0.c = msum.c AND m0.d = msum.d)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -235,6 +235,74 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // multi-band tiled GeoTIFF (COG shape) end-to-end (S1 completion +
+    // P1/A1 from FILE BYTES, RasterEncoder.java:107-113,
+    // StacResource.java:433-437): 25 three-band 30x20 rasters written as
+    // TILED (16x16, DEFLATE, float32) GeoTIFFs — even keys pixel-interleaved
+    // (PlanarConfiguration 1), odd keys band-planar (2) — by the EXECUTORS
+    // (distributed fixture write, not a driver loop), scanned back with
+    // binaryFile, decoded + band-mixed (A1 sum_value) per-executor, then
+    // SUBSTITUTE-mosaicked like q68. Any defect in tile reassembly, edge-tile
+    // padding, interleave handling or band order flips the hash compare.
+    "q69_cog_bandmix_mosaic" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      import graft.sources.GeoTiff
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_q69")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try java.nio.file.Files.walk(stageDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val stagePath = stageDir.toFile.getAbsolutePath
+      // distributed write: each executor synthesizes + encodes its own items
+      // (local FS here; a cluster points stagePath at shared storage)
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long]
+        .foreach { k =>
+          val w = 30; val h = 20
+          val bands = (0 until 3).map(b => Array.tabulate(w * h)(i =>
+            k * 1000.0 + ((i / h) * 31 + (i % h) * 17 + b * 7) % 97))
+          val r = Raster(f"item-$k%03d", k, w, h,
+                         k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326, bands)
+          GeoTiff.writeFull(r, new java.io.File(stagePath, s"${r.item_id}.tif"),
+            bits = 32, deflate = true, tile = Some((16, 16)),
+            planar = if (k % 2 == 0) 1 else 2)
+        }
+      val items = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          val r = GeoTiff.parse(bytes, id, ts = id.stripPrefix("item-").toLong)
+          val cells = r.width * r.height
+          val flat = new Array[Double](r.bands.length * cells)
+          r.bands.zipWithIndex.foreach { case (b, i) =>
+            System.arraycopy(b, 0, flat, i * cells, cells)
+          }
+          val mix = graft.raster.BandMixing.forName("sum_value")
+          val out = Array.tabulate(cells)(i => mix(flat, i, cells, r.bands.length))
+          Raster(r.item_id, r.ts, r.width, r.height,
+                 r.minX, r.maxX, r.minY, r.maxY, r.epsg, Seq(out))
+        }
+      val region = TileGeometry(100, 80, 0.0, 100.0, 0.0, 80.0, 4326, 0L, 0L)
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       maxCells = 2000L)
+        .flatMap { r =>
+          val x0 = math.round(r.minX).toInt; val y0 = math.round(r.minY).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // kernel-switched mosaic (W2 + the semantic chooser's override path,
     // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
     // coarser region — every target cell center lands exactly between four
@@ -386,6 +454,30 @@ object RasterQueries {
 
     "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
     "q68_geotiff_mosaic" -> mosaicOracle("arg_max(v, k)"),
+
+    // q69: same grid/ownership as q25/q68, but each contribution is the
+    // 3-band sum (band b adds b*7 to the value recurrence)
+    "q69_cog_bandmix_mosaic" ->
+      """WITH cells AS (
+        |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+        |contrib AS (
+        |  SELECT c.cx, c.cy, CAST(n_nationkey AS BIGINT) AS k,
+        |         CAST(3 * CAST(n_nationkey AS BIGINT) * 1000
+        |           + ((c.cx - CAST(n_nationkey AS BIGINT) * 3) * 31
+        |            + (c.cy - CAST(n_nationkey AS BIGINT) * 2) * 17) % 97
+        |           + ((c.cx - CAST(n_nationkey AS BIGINT) * 3) * 31
+        |            + (c.cy - CAST(n_nationkey AS BIGINT) * 2) * 17 + 7) % 97
+        |           + ((c.cx - CAST(n_nationkey AS BIGINT) * 3) * 31
+        |            + (c.cy - CAST(n_nationkey AS BIGINT) * 2) * 17 + 14) % 97 AS DOUBLE) AS v
+        |  FROM cells c, nation
+        |  WHERE c.cx >= CAST(n_nationkey AS BIGINT) * 3
+        |    AND c.cx <  CAST(n_nationkey AS BIGINT) * 3 + 30
+        |    AND c.cy >= CAST(n_nationkey AS BIGINT) * 2
+        |    AND c.cy <  CAST(n_nationkey AS BIGINT) * 2 + 20),
+        |m AS (SELECT cx, cy, arg_max(v, k) AS v FROM contrib GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
+        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+        |ORDER BY c.cx, c.cy""".stripMargin,
     "q26_mosaic_sum_grid" -> mosaicOracle("SUM(v)"),
     "q20_bandmix" ->
       """WITH b AS (

@@ -61,12 +61,14 @@ object SourceQueries {
         lit(".png\",\"type\":\"image/png\"}},"),
         lit("\"links\":[{\"rel\":\"self\",\"href\":\"https://cat/items/item-"), $"eid",
         lit(".json\"},{\"rel\":\"collection\",\"href\":\"./collection.json\"}]}"))
-      // cache the PARSED catalog (the engine analog of the reference's 2h
-      // layer-metadata cache): without a materialization boundary, predicate
-      // pushdown + JSON-expression pruning rewrite every search conjunct
-      // into its own from_json over a rebuilt document — measured 40s vs 4s
-      // at sf0.1 (one parse per row vs ~40)
-      val items = StacIngest.parseItems(ev.select(doc.as("doc")), "doc").cache()
+      // materialize the PARSED catalog (the engine analog of the reference's
+      // 2h layer-metadata cache): without a materialization boundary,
+      // predicate pushdown + JSON-expression pruning rewrite every search
+      // conjunct into its own from_json over a rebuilt document — measured
+      // 40s vs 4s at sf0.1 (one parse per row vs ~40). localCheckpoint ties
+      // the materialization to this job (GC'd with the RDD) instead of
+      // leaking a session-lifetime cache entry per invocation
+      val items = StacIngest.parseItems(ev.select(doc.as("doc")), "doc").localCheckpoint(true)
       StacCatalog.searchItems(items, (-75.5, -74.5, 2.5, 3.5), QStart, QEnd)
         .select($"item_id", $"epsg".cast("bigint").as("epsg"), $"ts",
                 StacIngest.assetHref($"assets", "red").as("href"),

@@ -27,10 +27,6 @@ object TextQueries {
                                 cap: Int, tag: String): DataFrame =
     graft.operators.BucketedSelfJoin.pairs(sigs, bucketCols, "doc_id", cap, tag)
 
-  /** sig_i = min over distinct tokens of md5(token)[8i .. 8i+8). */
-  private def sigCol(toks: Column, i: Int): Column =
-    array_min(transform(array_distinct(toks), t => substring(md5(t), i * 8 + 1, 8)))
-
   private def sigSql(i: Int): String =
     s"list_min(list_transform(list_distinct(string_split(text, ' ')), t -> substr(md5(t), ${i * 8 + 1}, 8)))"
 
@@ -69,11 +65,17 @@ object TextQueries {
         .orderBy($"lang")
     },
 
+    // the md5 array is hoisted to its own projection (q37's pattern):
+    // `mh` is referenced 4x below, which blocks CollapseProject from inlining
+    // the non-cheap transform — ONE md5 per distinct token, then 4 cheap
+    // array_min-of-substring passes over the shared array. sig_i =
+    // min over distinct tokens of md5(token)[8i .. 8i+8).
     "q33_minhash_sigs" -> { (s, dir) =>
       import s.implicits._
-      val toks = split($"text", " ")
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id") +: (0 until 4).map(i => sigCol(toks, i).as(s"sig${i + 1}")): _*)
+        .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
+        .select(col("doc_id") +: (0 until 4).map(i =>
+          array_min(transform($"mh", h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
         .orderBy(col("doc_id"))
     },
 

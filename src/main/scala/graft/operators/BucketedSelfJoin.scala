@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
 
 /**
  * Capped LSH bucket self-join: candidate pairs from rows sharing a bucket
@@ -10,14 +14,44 @@ import org.apache.spark.sql.functions._
  * an O(n^2) self-join that no amount of parallelism saves at corpus scale.
  *
  * No silent caps: the number of dropped buckets and the rows they held are
- * counted and logged (warn) whenever the cap fires. The bucket-count pass is
- * a cheap aggregation over the (small) signature table; the oversized set is
- * broadcast into a left_anti join, so the cap adds no extra shuffle of the
- * candidate volume.
+ * counted and logged (warn) whenever the cap fires — LAZILY, through a named
+ * `observe()` metric collected by a per-session QueryExecutionListener when
+ * the query actually runs, so constructing the (lazy) DataFrame launches no
+ * job. The bucket-count pass is a cheap aggregation over the (small)
+ * signature table; the oversized set is broadcast into the probe, so the cap
+ * adds no extra shuffle of the candidate volume.
  */
 object BucketedSelfJoin {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** observe() names must be unique within a query; a counter disambiguates
+    * multiple pairs() calls composed into one plan. */
+  private val obsCounter = new AtomicInteger(0)
+
+  /** Sessions that already carry the cap-logging listener (by session hash —
+    * sessions are never unregistered; local-mode sessions are few). */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_bucket_cap_")) {
+              val rows = row.getAs[Long]("n_rows_dropped")
+              if (rows > 0L)
+                log.warn(s"[$name] LSH bucket cap dropped " +
+                  s"${math.round(row.getAs[Double]("n_buckets_dropped"))} bucket(s) " +
+                  s"holding $rows row(s) from candidate generation")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
 
   /**
    * Pairs (id_a < id_b) of `idCol` values sharing all `bucketCols`, from
@@ -25,17 +59,20 @@ object BucketedSelfJoin {
    */
   def pairs(sigs: DataFrame, bucketCols: Seq[String], idCol: String,
             cap: Int, tag: String): DataFrame = {
+    ensureListener(sigs.sparkSession)
     val keys = bucketCols.map(col)
-    val counts = sigs.groupBy(keys: _*).agg(count(lit(1)).as("n_bucket"))
-    val oversized = counts.filter(col("n_bucket") > cap)
-    // no-silent-caps rule: surface what the cap removed
-    val dropped = oversized.agg(
-      count(lit(1)).as("n_buckets"),
-      coalesce(sum(col("n_bucket")), lit(0L)).as("n_rows")).head()
-    if (dropped.getLong(0) > 0)
-      log.warn(s"[$tag] LSH bucket cap $cap dropped ${dropped.getLong(0)} " +
-        s"bucket(s) holding ${dropped.getLong(1)} row(s) from candidate generation")
-    val kept = sigs.join(broadcast(oversized.select(keys: _*)), bucketCols, "left_anti")
+    val oversized = sigs.groupBy(keys: _*).agg(count(lit(1)).as("n_bucket"))
+      .filter(col("n_bucket") > cap)
+    // left join against the (tiny, broadcast) oversized set: n_bucket is
+    // non-null exactly on dropped rows, so the observation can count both
+    // rows (sum of 1) and buckets (sum of 1/n_bucket — integral by
+    // construction) without a separate driver-side job
+    val flagged = sigs.join(broadcast(oversized), bucketCols, "left")
+      .observe(s"graft_bucket_cap_${tag}_${obsCounter.incrementAndGet()}",
+        sum(when(col("n_bucket").isNotNull, 1L).otherwise(0L)).as("n_rows_dropped"),
+        coalesce(sum(when(col("n_bucket").isNotNull,
+          lit(1.0) / col("n_bucket"))), lit(0.0)).as("n_buckets_dropped"))
+    val kept = flagged.filter(col("n_bucket").isNull).drop("n_bucket")
     kept.as("a").join(kept.as("b"), bucketCols)
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

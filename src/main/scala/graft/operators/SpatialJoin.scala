@@ -106,10 +106,12 @@ object SpatialJoin {
                         sampleFraction: Double = 0.01,
                         hotCellCap: Long = 2000000L): DataFrame = {
     import points.sparkSession.implicits._
-    // persist the exploded cover: the planner's count() and the join itself
-    // would otherwise both evaluate the JTS cover kernel per zone
+    // localCheckpoint the exploded cover: the planner's count() and the join
+    // itself would otherwise both evaluate the JTS cover kernel per zone; the
+    // eager checkpoint ties the materialization to this job (GC'd with the
+    // RDD) instead of leaking a session-lifetime cache entry
     val zoneCells = zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
-      .persist()
+      .localCheckpoint(true)
     val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
     val plan = planPointsInZones(pts, zoneCells, broadcastMaxCells, sampleFraction, hotCellCap)
     val joined = plan match {

@@ -11,17 +11,23 @@ import graft.model.Raster
  * Pure-Scala GeoTIFF codec (S1/S9 made real — no GeoTools): baseline
  * TIFF 6.0 + the GeoTIFF 1.1 tags, from the published specifications.
  *
- * Writer: single-band IEEE-float (32 or 64 bit) GeoTIFF, little-endian, one
- * strip, optional DEFLATE (compression 8, java.util.zip), with
- * ModelPixelScale + ModelTiepoint georeferencing, a GeoKeyDirectory carrying
- * the EPSG code (geographic 2048 / projected 3072 per CRS kind), and the
- * GDAL_NODATA ascii tag ("nan" — the engine's nodata is NaN).
+ * Writer: IEEE-float (32 or 64 bit) GeoTIFF, little-endian, single- or
+ * multi-band (chunky PlanarConfiguration=1 or planar =2), stripped or tiled
+ * (TileWidth/TileLength multiples of 16 per TIFF 6.0 §15), optional DEFLATE
+ * (compression 8, java.util.zip), with ModelPixelScale + ModelTiepoint
+ * georeferencing, a GeoKeyDirectory carrying the EPSG code (geographic 2048 /
+ * projected 3072 per CRS kind), and the GDAL_NODATA ascii tag ("nan" — the
+ * engine's nodata is NaN).
  *
- * Reader: either byte order, single-band strips, uncompressed or DEFLATE,
- * sample formats IEEE-float 32/64 and signed/unsigned int 8/16/32 (ints are
- * widened to the double plane; a GDAL_NODATA value maps to NaN). Tiled
- * TIFFs, palettes and multi-band interleaves are out of scope — the
- * reference's own pipeline reads the single-band coverages it writes.
+ * Reader: either byte order, strips or tiles, chunky or planar interleave,
+ * any SamplesPerPixel (the multi-band COG shape the reference selects bands
+ * from — adapters/raster/RasterEncoder.java:107-113,
+ * adapters/stac/StacResource.java:433-437), uncompressed or DEFLATE, sample
+ * formats IEEE-float 32/64 and signed/unsigned int 8/16/32 (ints are widened
+ * to the double plane; a GDAL_NODATA value maps to NaN). Band selection
+ * happens AT DECODE ([[parseBands]]): with planar interleave the unselected
+ * planes' strips/tiles are never even inflated. Palette TIFFs are out of
+ * scope (the reference reads continuous coverages).
  *
  * Pixel order: TIFF rows are top-down; [[Raster]] is column-major with row 0
  * at the south edge (D2_XY) — the codec transposes on both paths, and the
@@ -39,6 +45,11 @@ object GeoTiff {
   private val TSamplesPerPixel = 277
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
+  private val TPlanarConfig = 284
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
@@ -51,88 +62,194 @@ object GeoTiff {
   private val FtAscii = 2
   private val FtDouble = 12
 
-  /** Write `band` of the raster as a GeoTIFF. `bits` = 32 | 64,
-    * `deflate` = DEFLATE-compress the strip. */
+  /** Write `band` of the raster as a single-band stripped GeoTIFF. */
   def write(r: Raster, file: File, band: Int = 0, bits: Int = 64,
-            deflate: Boolean = false): Unit = {
-    require(bits == 32 || bits == 64, s"unsupported float width $bits")
-    val w = r.width; val h = r.height
-    val values = r.bands(band)
-    val bps = bits / 8
-    val raw = ByteBuffer.allocate(w * h * bps).order(ByteOrder.LITTLE_ENDIAN)
-    var row = 0
-    while (row < h) {
-      val y = h - 1 - row // top-down rows from the south-up grid
-      var x = 0
-      while (x < w) {
-        val v = values(x * h + y)
-        if (bits == 64) raw.putDouble(v) else raw.putFloat(v.toFloat)
-        x += 1
-      }
-      row += 1
-    }
-    val strip = if (deflate) deflateBytes(raw.array()) else raw.array()
+            deflate: Boolean = false): Unit =
+    writeFull(Raster(r.item_id, r.ts, r.width, r.height,
+                     r.minX, r.maxX, r.minY, r.maxY, r.epsg, Seq(r.bands(band))),
+              file, bits, deflate)
 
-    // geo payloads
+  /**
+   * Write ALL bands of the raster as a GeoTIFF.
+   * @param bits    32 | 64 (IEEE float samples)
+   * @param deflate DEFLATE-compress every strip/tile independently
+   * @param tile    Some((tileW, tileH)) writes a tiled TIFF (dims must be
+   *                multiples of 16, TIFF 6.0 §15); None writes one strip per
+   *                plane
+   * @param planar  1 = chunky (samples interleaved per pixel),
+   *                2 = planar (each band its own strips/tiles)
+   */
+  def writeFull(r: Raster, file: File, bits: Int = 64, deflate: Boolean = false,
+                tile: Option[(Int, Int)] = None, planar: Int = 1): Unit =
+    Files.write(Paths.get(file.getPath), encode(r, bits, deflate, tile, planar))
+
+  /** [[writeFull]] to a byte array (the distributed-sink unit: executors
+    * encode their own tiles and hand bytes to the committing writer). */
+  def encode(r: Raster, bits: Int = 64, deflate: Boolean = false,
+             tile: Option[(Int, Int)] = None, planar: Int = 1): Array[Byte] = {
+    require(bits == 32 || bits == 64, s"unsupported float width $bits")
+    require(planar == 1 || planar == 2, s"bad PlanarConfiguration $planar")
+    tile.foreach { case (tw, th) =>
+      require(tw % 16 == 0 && th % 16 == 0, s"tile dims must be multiples of 16: ${tw}x$th")
+    }
+    val w = r.width; val h = r.height
+    val spp = r.bands.length
+    val bps = bits / 8
+
+    @inline def putVal(bb: ByteBuffer, v: Double): Unit =
+      if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
+
+    // ---- image data chunks (file order) ----
+    val rawChunks: Seq[Array[Byte]] = tile match {
+      case None =>
+        // one strip per plane; chunky = a single strip with per-pixel
+        // interleave, planar = spp strips each holding one full band
+        val planes = if (planar == 2) spp else 1
+        (0 until planes).map { p =>
+          val sppC = if (planar == 2) 1 else spp
+          val bb = ByteBuffer.allocate(w * h * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
+          var row = 0
+          while (row < h) {
+            val y = h - 1 - row // top-down rows from the south-up grid
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < sppC) {
+                putVal(bb, r.bands(if (planar == 2) p else b)(x * h + y)); b += 1
+              }
+              x += 1
+            }
+            row += 1
+          }
+          bb.array()
+        }
+      case Some((tw, th)) =>
+        // tiles left-to-right, top-to-bottom, planes consecutive (planar);
+        // edge tiles are padded to the full tile size per the TIFF spec
+        val ta = (w + tw - 1) / tw; val td = (h + th - 1) / th
+        val planes = if (planar == 2) spp else 1
+        for {
+          p <- 0 until planes
+          tyi <- 0 until td
+          txi <- 0 until ta
+        } yield {
+          val sppC = if (planar == 2) 1 else spp
+          val bb = ByteBuffer.allocate(tw * th * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
+          var rr = 0
+          while (rr < th) {
+            val row = tyi * th + rr
+            var xi = 0
+            while (xi < tw) {
+              val x = txi * tw + xi
+              var b = 0
+              while (b < sppC) {
+                val v = if (row < h && x < w)
+                  r.bands(if (planar == 2) p else b)(x * h + (h - 1 - row))
+                else 0.0
+                putVal(bb, v); b += 1
+              }
+              xi += 1
+            }
+            rr += 1
+          }
+          bb.array()
+        }
+    }
+    val chunks = rawChunks.map(c => if (deflate) deflateBytes(c) else c)
+
+    // ---- layout: header(8) | chunks | tag payload blocks | IFD ----
+    var cursor = 8L
+    val chunkOffsets = chunks.map { c =>
+      if (cursor % 2 == 1) cursor += 1 // values begin on a word boundary
+      val off = cursor; cursor += c.length; off
+    }
+
+    def shorts(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putShort(v.toShort)); b.array()
+    }
+    def longsB(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    def doublesB(vs: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+
     val cw = (r.maxX - r.minX) / w; val ch = (r.maxY - r.minY) / h
-    val pixelScale = Array(cw, ch, 0.0)
-    val tiepoint = Array(0.0, 0.0, 0.0, r.minX, r.maxY, 0.0)
     val geographic = r.epsg == 4326 || (r.epsg >= 4000 && r.epsg < 5000)
-    val geoKeys: Array[Int] = Array(
+    val geoKeys: Seq[Long] = Seq[Long](
       1, 1, 0, 2, // key directory header: version 1.1, 2 keys
-      1024, 0, 1, if (geographic) 2 else 1, // GTModelType
-      if (geographic) 2048 else 3072, 0, 1, r.epsg) // CRS code key
-    // "nan" NUL-terminated and padded past 4 bytes so the tag is stored by
-    // offset (inline ASCII would put the bytes in the value slot - both are
-    // legal TIFF; the reader handles both)
+      1024, 0, 1, if (geographic) 2L else 1L, // GTModelType
+      if (geographic) 2048L else 3072L, 0, 1, r.epsg.toLong) // CRS code key
+    // "nan" NUL-terminated; padded so older readers that only handle
+    // offset-stored ASCII still see it (both storages are legal TIFF)
     val nodataAscii: Array[Byte] = Array('n', 'a', 'n', ' ', 0).map(_.toByte)
 
-    // layout: header(8) | strip | pixelScale | tiepoint | geoKeys | nodata | IFD
-    val stripOff = 8L
-    // TIFF 6.0: values must begin on a word boundary — an odd-length
-    // DEFLATE strip would otherwise misalign every block after it
-    val scaleOff = stripOff + strip.length + (strip.length & 1)
-    val tieOff = scaleOff + 24
-    val keysOff = tieOff + 48
-    val nodataOff = keysOff + geoKeys.length * 2
-    var ifdOff = nodataOff + nodataAscii.length
-    if (ifdOff % 2 == 1) ifdOff += 1 // IFD must start on a word boundary
+    // (tag, type, count, payload) — ascending tag order per TIFF 6.0
+    val tagData: Seq[(Int, Int, Int, Array[Byte])] = (Seq(
+      (TImageWidth, FtLong, 1, longsB(Seq(w.toLong))),
+      (TImageLength, FtLong, 1, longsB(Seq(h.toLong))),
+      (TBitsPerSample, FtShort, spp, shorts(Seq.fill(spp)(bits.toLong))),
+      (TCompression, FtShort, 1, shorts(Seq(if (deflate) 8L else 1L))),
+      (TPhotometric, FtShort, 1, shorts(Seq(1L))),
+      (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
+      (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong)))) ++
+      (tile match {
+        case None => Seq(
+          (TStripOffsets, FtLong, chunks.length, longsB(chunkOffsets)),
+          (TRowsPerStrip, FtLong, 1, longsB(Seq(h.toLong))),
+          (TStripByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+        case Some((tw, th)) => Seq(
+          (TTileWidth, FtLong, 1, longsB(Seq(tw.toLong))),
+          (TTileLength, FtLong, 1, longsB(Seq(th.toLong))),
+          (TTileOffsets, FtLong, chunks.length, longsB(chunkOffsets)),
+          (TTileByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+      }) ++ Seq(
+      (TSampleFormat, FtShort, spp, shorts(Seq.fill(spp)(3L))), // IEEE float
+      (TModelPixelScale, FtDouble, 3, doublesB(Seq(cw, ch, 0.0))),
+      (TModelTiepoint, FtDouble, 6, doublesB(Seq(0.0, 0.0, 0.0, r.minX, r.maxY, 0.0))),
+      (TGeoKeyDirectory, FtShort, geoKeys.length, shorts(geoKeys)),
+      (TGdalNodata, FtAscii, nodataAscii.length, nodataAscii)))
+      .sortBy(_._1)
 
-    val entries = Seq[(Int, Int, Int, Long)](
-      (TImageWidth, FtLong, 1, w.toLong),
-      (TImageLength, FtLong, 1, h.toLong),
-      (TBitsPerSample, FtShort, 1, bits.toLong),
-      (TCompression, FtShort, 1, if (deflate) 8L else 1L),
-      (TPhotometric, FtShort, 1, 1L),
-      (TStripOffsets, FtLong, 1, stripOff),
-      (TSamplesPerPixel, FtShort, 1, 1L),
-      (TRowsPerStrip, FtLong, 1, h.toLong),
-      (TStripByteCounts, FtLong, 1, strip.length.toLong),
-      (TSampleFormat, FtShort, 1, 3L), // IEEE float
-      (TModelPixelScale, FtDouble, 3, scaleOff),
-      (TModelTiepoint, FtDouble, 6, tieOff),
-      (TGeoKeyDirectory, FtShort, geoKeys.length, keysOff),
-      (TGdalNodata, FtAscii, nodataAscii.length, nodataOff))
+    // payloads longer than 4 bytes go to blocks; others inline
+    val blockOffsets: Map[Int, Long] = tagData.collect {
+      case (tag, _, _, payload) if payload.length > 4 =>
+        if (cursor % 2 == 1) cursor += 1
+        val off = cursor; cursor += payload.length
+        tag -> off
+    }.toMap
+    if (cursor % 2 == 1) cursor += 1
+    val ifdOff = cursor
+    val total = ifdOff + 2 + tagData.length * 12 + 4
 
-    val total = ifdOff + 2 + entries.length * 12 + 4
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
-    buf.put(strip)
-    if ((strip.length & 1) == 1) buf.put(0.toByte)
-    pixelScale.foreach(buf.putDouble)
-    tiepoint.foreach(buf.putDouble)
-    geoKeys.foreach(k => buf.putShort(k.toShort))
-    buf.put(nodataAscii)
+    chunks.zip(chunkOffsets).foreach { case (c, off) =>
+      while (buf.position() < off) buf.put(0.toByte)
+      buf.put(c)
+    }
+    tagData.foreach { case (tag, _, _, payload) =>
+      blockOffsets.get(tag).foreach { off =>
+        while (buf.position() < off) buf.put(0.toByte)
+        buf.put(payload)
+      }
+    }
     while (buf.position() < ifdOff) buf.put(0.toByte)
-    buf.putShort(entries.length.toShort)
-    entries.foreach { case (tag, tpe, count, value) =>
+    buf.putShort(tagData.length.toShort)
+    tagData.foreach { case (tag, tpe, count, payload) =>
       buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
-      // inline values are left-justified in the 4-byte slot
-      if (tpe == FtShort && count == 1) buf.putShort(value.toShort).putShort(0)
-      else buf.putInt(value.toInt)
+      blockOffsets.get(tag) match {
+        case Some(off) => buf.putInt(off.toInt)
+        case None => // inline values are left-justified in the 4-byte slot
+          val slot = java.util.Arrays.copyOf(payload, 4)
+          buf.put(slot)
+      }
     }
     buf.putInt(0) // no next IFD
-    Files.write(Paths.get(file.getPath), buf.array())
+    buf.array()
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {
@@ -150,7 +267,15 @@ object GeoTiff {
     inf.setInput(data)
     val out = new Array[Byte](expected)
     var off = 0
-    while (!inf.finished() && off < expected) off += inf.inflate(out, off, expected - off)
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(out, off, expected - off)
+      // a truncated/corrupt stream makes inflate() return 0 with
+      // finished=false forever — fail instead of spinning (this runs on
+      // untrusted binaryFile content inside executors)
+      if (n == 0 && !inf.finished())
+        throw new IllegalArgumentException("truncated or corrupt DEFLATE block")
+      off += n
+    }
     inf.end()
     require(off == expected, s"short inflate: $off of $expected bytes")
     out
@@ -159,16 +284,27 @@ object GeoTiff {
   private final case class Entry(tag: Int, tpe: Int, count: Int, valueOrOffset: Long,
                                  inline: Array[Byte])
 
-  /** Read a (single-band) GeoTIFF into a [[Raster]]. `item_id` defaults to
+  /** Read a GeoTIFF into a [[Raster]] (all bands). `item_id` defaults to
     * the file name stem, ts to 0 (the caller owns temporal metadata). */
   def read(file: File, itemId: String = null, ts: Long = 0L): Raster = {
     val id = if (itemId != null) itemId else file.getName.replaceAll("\\.tiff?$", "")
     parse(Files.readAllBytes(Paths.get(file.getPath)), id, ts)
   }
 
-  /** Parse GeoTIFF bytes (the distributed-scan entry: pair with Spark's
-    * binaryFile source — each executor decodes its own files). */
-  def parse(bytes: Array[Byte], itemId: String, ts: Long = 0L): Raster = {
+  /** Parse GeoTIFF bytes, all bands (the distributed-scan entry: pair with
+    * Spark's binaryFile source — each executor decodes its own files). */
+  def parse(bytes: Array[Byte], itemId: String, ts: Long = 0L): Raster =
+    parseBands(bytes, itemId, ts, None)
+
+  /**
+   * Parse GeoTIFF bytes decoding only `select`ed bands (in the given order —
+   * the reference's BAND_PARAM / selectSampleDimension path,
+   * RasterEncoder.java:107-113, StacResource.java:433-437). None = all bands.
+   * With planar interleave the unselected planes' strips/tiles are skipped
+   * without decompression.
+   */
+  def parseBands(bytes: Array[Byte], itemId: String, ts: Long,
+                 select: Option[Seq[Int]]): Raster = {
     require(bytes.length > 8, s"$itemId: not a TIFF")
     val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
     val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
@@ -235,26 +371,28 @@ object GeoTiff {
 
     val w = scalar(TImageWidth).toInt; val h = scalar(TImageLength).toInt
     require(w > 0 && h > 0, s"$itemId: missing image dimensions")
-    require(scalar(TSamplesPerPixel, 1) == 1, "multi-band GeoTIFF not supported")
-    val bits = scalar(TBitsPerSample, 1).toInt
-    val sampleFormat = scalar(TSampleFormat, 1).toInt // 1 uint, 2 int, 3 float
+    val spp = math.max(1, scalar(TSamplesPerPixel, 1).toInt)
+    val planarCfg = scalar(TPlanarConfig, 1).toInt
+    require(planarCfg == 1 || planarCfg == 2, s"$itemId: bad PlanarConfiguration $planarCfg")
+    val bitsAll = longs(TBitsPerSample)
+    require(bitsAll.isEmpty || bitsAll.forall(_ == bitsAll.head),
+            s"$itemId: heterogeneous BitsPerSample unsupported")
+    val bits = bitsAll.headOption.getOrElse(1L).toInt
+    val sfAll = longs(TSampleFormat)
+    require(sfAll.isEmpty || sfAll.forall(_ == sfAll.head),
+            s"$itemId: heterogeneous SampleFormat unsupported")
+    val sampleFormat = sfAll.headOption.getOrElse(1L).toInt // 1 uint, 2 int, 3 float
     val compression = scalar(TCompression, 1).toInt
     require(compression == 1 || compression == 8,
             s"unsupported TIFF compression $compression (only none/deflate)")
     val bps = (bits + 7) / 8
 
-    // assemble the full top-down pixel buffer from the strips
-    val offsets = longs(TStripOffsets)
-    val counts = longs(TStripByteCounts)
-    val rowsPerStrip = scalar(TRowsPerStrip, h).toInt
-    val pixels = ByteBuffer.allocate(w * h * bps).order(order)
-    offsets.indices.foreach { s =>
-      val expected = math.min(rowsPerStrip, h - s * rowsPerStrip) * w * bps
-      val rawStrip = java.util.Arrays.copyOfRange(
-        bytes, offsets(s).toInt, (offsets(s) + counts(s)).toInt)
-      pixels.put(if (compression == 8) inflateBytes(rawStrip, expected) else rawStrip)
-    }
-    pixels.flip()
+    // band selection: plane -> output slot (-1 = skip)
+    val sel = select.getOrElse(0 until spp)
+    sel.foreach(b => require(b >= 0 && b < spp, s"$itemId: band $b of $spp"))
+    val destOf = Array.fill(spp)(-1)
+    sel.zipWithIndex.foreach { case (b, i) => destOf(b) = i }
+    val bands = Array.fill(sel.length)(new Array[Double](w * h))
 
     val nodata: Option[Double] = ascii(TGdalNodata).flatMap { s =>
       val t = s.trim
@@ -265,28 +403,100 @@ object GeoTiff {
     @inline def toNaN(v: Double): Double =
       if (nodata.exists(nd => !nd.isNaN && v == nd)) Double.NaN else v
 
-    val values = new Array[Double](w * h)
-    var row = 0
-    while (row < h) {
-      val y = h - 1 - row
-      var x = 0
-      while (x < w) {
-        val idx = (row * w + x) * bps
-        val v = (sampleFormat, bits) match {
-          case (3, 32) => pixels.getFloat(idx).toDouble
-          case (3, 64) => pixels.getDouble(idx)
-          case (2, 16) => pixels.getShort(idx).toDouble
-          case (2, 32) => pixels.getInt(idx).toDouble
-          case (1, 8)  => (pixels.get(idx) & 0xff).toDouble
-          case (1, 16) => (pixels.getShort(idx) & 0xffff).toDouble
-          case (1, 32) => (pixels.getInt(idx).toLong & 0xffffffffL).toDouble
-          case other   => throw new IllegalArgumentException(
-            s"unsupported sample format/bits $other")
+    @inline def sampleAt(bb: ByteBuffer, idx: Int): Double = (sampleFormat, bits) match {
+      case (3, 32) => bb.getFloat(idx).toDouble
+      case (3, 64) => bb.getDouble(idx)
+      case (2, 16) => bb.getShort(idx).toDouble
+      case (2, 32) => bb.getInt(idx).toDouble
+      case (1, 8)  => (bb.get(idx) & 0xff).toDouble
+      case (1, 16) => (bb.getShort(idx) & 0xffff).toDouble
+      case (1, 32) => (bb.getInt(idx).toLong & 0xffffffffL).toDouble
+      case other   => throw new IllegalArgumentException(
+        s"unsupported sample format/bits $other")
+    }
+
+    // decode one data chunk covering image rect (x0, top-down row0, cw_ x
+    // ch_) with padded row width rw and sppC interleaved samples per pixel;
+    // `plane` >= 0 pins the band (planar config), else samples map to bands
+    // 0..sppC-1 (chunky)
+    def decodeChunk(off: Long, cnt: Long, expected: Int, x0: Int, row0: Int,
+                    cw_ : Int, ch_ : Int, rw: Int, sppC: Int, plane: Int): Unit = {
+      val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
+      val data = if (compression == 8) inflateBytes(raw, expected) else raw
+      val bb = ByteBuffer.wrap(data).order(order)
+      var rr = 0
+      while (rr < ch_) {
+        val row = row0 + rr
+        if (row < h) {
+          val y = h - 1 - row
+          var xi = 0
+          while (xi < cw_) {
+            val x = x0 + xi
+            if (x < w) {
+              val base = (rr * rw + xi) * sppC * bps
+              var b = 0
+              while (b < sppC) {
+                val dst = destOf(if (plane >= 0) plane else b)
+                if (dst >= 0)
+                  bands(dst)(x * h + y) = toNaN(sampleAt(bb, base + b * bps))
+                b += 1
+              }
+            }
+            xi += 1
+          }
         }
-        values(x * h + y) = toNaN(v)
-        x += 1
+        rr += 1
       }
-      row += 1
+    }
+
+    val planes = if (planarCfg == 2) spp else 1
+    val sppC = if (planarCfg == 2) 1 else spp
+    if (entries.contains(TTileOffsets)) {
+      // tiled layout (tags 322-325): tiles left-to-right top-to-bottom,
+      // planes consecutive; edge tiles padded to the full tile size
+      val tw = scalar(TTileWidth).toInt; val tl = scalar(TTileLength).toInt
+      require(tw > 0 && tl > 0, s"$itemId: bad tile dimensions ${tw}x$tl")
+      val ta = (w + tw - 1) / tw; val td = (h + tl - 1) / tl
+      val offsets = longs(TTileOffsets); val counts = longs(TTileByteCounts)
+      require(offsets.length == ta * td * planes,
+              s"$itemId: ${offsets.length} tiles, expected ${ta * td * planes}")
+      val expected = tw * tl * sppC * bps
+      var p = 0
+      while (p < planes) {
+        if (planarCfg != 2 || destOf(p) >= 0) { // skip unselected planes wholesale
+          var t = 0
+          while (t < ta * td) {
+            val i = p * ta * td + t
+            decodeChunk(offsets(i), counts(i), expected,
+                        (t % ta) * tw, (t / ta) * tl, tw, tl, tw, sppC,
+                        if (planarCfg == 2) p else -1)
+            t += 1
+          }
+        }
+        p += 1
+      }
+    } else {
+      val offsets = longs(TStripOffsets)
+      val counts = longs(TStripByteCounts)
+      val rowsPerStrip = scalar(TRowsPerStrip, h).toInt
+      val spi = (h + rowsPerStrip - 1) / rowsPerStrip // strips per plane
+      require(offsets.length == spi * planes,
+              s"$itemId: ${offsets.length} strips, expected ${spi * planes}")
+      var p = 0
+      while (p < planes) {
+        if (planarCfg != 2 || destOf(p) >= 0) {
+          var s = 0
+          while (s < spi) {
+            val i = p * spi + s
+            val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+            decodeChunk(offsets(i), counts(i), rows * w * sppC * bps,
+                        0, s * rowsPerStrip, w, rows, w, sppC,
+                        if (planarCfg == 2) p else -1)
+            s += 1
+          }
+        }
+        p += 1
+      }
     }
 
     // georeferencing: tiepoint (i,j,k, X,Y,Z) + pixel scale
@@ -307,7 +517,7 @@ object GeoTiff {
     val keyMap = keys.grouped(4).collect { case Array(k, _, _, v) => k -> v.toInt }.toMap
     val epsg = keyMap.get(3072L).orElse(keyMap.get(2048L)).getOrElse(4326)
 
-    Raster(itemId, ts, w, h, minX, maxX, minY, maxY, epsg, Seq(values))
+    Raster(itemId, ts, w, h, minX, maxX, minY, maxY, epsg, bands.toSeq)
   }
 
   private def firstValue(inline: Array[Byte], tpe: Int, order: ByteOrder): Long = {

@@ -201,4 +201,84 @@ class GeoTiffSpec extends AnyFunSuite {
     java.nio.file.Files.write(f.toPath, "not a tiff at all".getBytes)
     intercept[IllegalArgumentException](GeoTiff.read(f))
   }
+
+  private def mkMulti(w: Int = 37, h: Int = 23): Raster = {
+    // 3 bands; NaN sprinkled differently per band
+    val bands = (0 until 3).map(b => Array.tabulate(w * h) { i =>
+      if ((i + b) % 11 == 0) Double.NaN else (i * 31 + b * 7) % 97 + 0.5
+    })
+    Raster("m1", 7L, w, h, 0.0, w.toDouble, 0.0, h.toDouble, 32618, bands)
+  }
+
+  test("multi-band tiled round-trip: chunky/planar x deflate x float32/64") {
+    val r = mkMulti()
+    for {
+      planar <- Seq(1, 2)
+      deflate <- Seq(false, true)
+      bits <- Seq(32, 64)
+      tile <- Seq(None, Some((16, 16)))
+    } {
+      val f = tmp(".tif")
+      GeoTiff.writeFull(r, f, bits = bits, deflate = deflate, tile = tile, planar = planar)
+      val back = GeoTiff.read(f)
+      val label = s"planar=$planar deflate=$deflate bits=$bits tile=$tile"
+      assert(back.bands.length == 3, label)
+      assert(back.epsg == 32618 && (back.width, back.height) == (r.width, r.height), label)
+      for (b <- 0 until 3)
+        sameValues(
+          if (bits == 32) r.bands(b).map(v => if (v.isNaN) v else v.toFloat.toDouble)
+          else r.bands(b),
+          back.bands(b))
+    }
+  }
+
+  test("band select decodes only requested bands, in requested order") {
+    val r = mkMulti()
+    for (planar <- Seq(1, 2); tile <- Seq(None, Some((16, 16)))) {
+      val f = tmp(".tif")
+      GeoTiff.writeFull(r, f, deflate = true, tile = tile, planar = planar)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val back = GeoTiff.parseBands(bytes, "m1", 7L, Some(Seq(2, 0)))
+      assert(back.bands.length == 2)
+      sameValues(r.bands(2), back.bands(0))
+      sameValues(r.bands(0), back.bands(1))
+    }
+  }
+
+  test("tiled single-band with non-multiple image dims pads edge tiles correctly") {
+    val r = mkRaster(4326) // 17x11 — both dims straddle one 16x16 tile edge
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, tile = Some((16, 16)), deflate = true)
+    sameValues(r.bands.head, GeoTiff.read(f).bands.head)
+  }
+
+  test("JDK ImageIO reads our tiled multi-band chunky files bit-exactly") {
+    val r = mkMulti(20, 18)
+    val noNaN = Raster(r.item_id, r.ts, r.width, r.height, r.minX, r.maxX,
+      r.minY, r.maxY, r.epsg, r.bands.map(_.map(v => if (v.isNaN) -1.0 else v)))
+    val f = tmp(".tif")
+    GeoTiff.writeFull(noNaN, f, bits = 32, deflate = true, tile = Some((16, 16)))
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("TIFF")
+    assert(readers.hasNext, "JDK TIFF plugin missing")
+    val reader = readers.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(f))
+    val img = reader.read(0).getRaster
+    assert((img.getWidth, img.getHeight) == (r.width, r.height))
+    for (b <- 0 until 3; row <- 0 until r.height; x <- 0 until r.width) {
+      val want = noNaN.bands(b)(x * r.height + (r.height - 1 - row)).toFloat
+      assert(img.getSampleFloat(x, row, b) == want, s"b=$b ($x,$row)")
+    }
+    reader.dispose()
+  }
+
+  test("truncated DEFLATE data fails instead of hanging") {
+    val r = mkRaster(4326)
+    val f = tmp(".tif")
+    GeoTiff.write(r, f, deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // zero out the tail of the compressed strip (starts at offset 8)
+    java.util.Arrays.fill(bytes, 40, 200, 0.toByte)
+    val ex = intercept[Exception](GeoTiff.parse(bytes, "trunc"))
+    assert(ex.getMessage != null)
+  }
 }
