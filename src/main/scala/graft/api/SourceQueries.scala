@@ -1,9 +1,10 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-import graft.sources.{StacCatalog, StacIngest, WcsXml}
+import graft.sources.{StacCatalog, StacIngest, StacTraversal, WcsXml}
 
 /**
  * Wire-format ingest queries: actual STAC JSON documents through `from_json`
@@ -19,6 +20,55 @@ object SourceQueries {
   private val QStart = 1704672000000L
   private val QEnd = 1705708800000L
 
+  /** Shared item-synthesis base (q65/q70): per-event bbox, EPSG, µs-ISO
+    * datetime — the arithmetic the DuckDB oracles replay. */
+  private def evBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"ts")
+      .withColumn("minx", lit(-76.0) + ($"event_id" % 40).cast("double") * 0.05)
+      .withColumn("miny", lit(2.0) + ($"event_id" % 30).cast("double") * 0.04)
+      .withColumn("maxx", $"minx" + 0.1)
+      .withColumn("maxy", $"miny" + 0.08)
+      .withColumn("epsg",
+        when($"event_id" % 3 === 0, 4326).when($"event_id" % 3 === 1, 3857).otherwise(32618))
+      .withColumn("dt",
+        date_format($"ts".cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      .withColumn("eid", $"event_id".cast("string"))
+  }
+
+  /** One STAC item JSON document from the [[evBase]] columns: even ids carry
+    * a GeoJSON Polygon geometry, odd ids only a bbox (the two item-footprint
+    * paths of StacResource.java:515-529); B01 asset resolvable via its
+    * eo:bands name "red", png thumb filtered as unsupported, s3 href. */
+  private def itemDoc: Column = {
+    def d(c: String): Column = col(c).cast("string")
+    val footprint = when(col("event_id") % 2 === 0,
+      concat(lit("\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+        d("minx"), lit(","), d("miny"), lit("],["),
+        d("maxx"), lit(","), d("miny"), lit("],["),
+        d("maxx"), lit(","), d("maxy"), lit("],["),
+        d("minx"), lit(","), d("maxy"), lit("],["),
+        d("minx"), lit(","), d("miny"), lit("]]]}")))
+      .otherwise(concat(lit("\"bbox\":["),
+        d("minx"), lit(","), d("miny"), lit(","), d("maxx"), lit(","), d("maxy"), lit("]")))
+    concat(
+      lit("{\"type\":\"Feature\",\"stac_version\":\"1.0.0\",\"id\":\"item-"), col("eid"), lit("\","),
+      footprint,
+      lit(",\"properties\":{\"datetime\":\""), col("dt"),
+      lit("\",\"proj:epsg\":"), col("epsg").cast("string"), lit("},"),
+      lit("\"assets\":{\"B01\":{\"href\":\"s3://eodata-waw4-1/items/item-"), col("eid"),
+      lit("/B01.tif\",\"type\":\"image/tiff; application=geotiff\"," +
+          "\"eo:bands\":[{\"name\":\"red\"}]}," +
+          "\"thumb\":{\"href\":\"https://cat/thumb/item-"), col("eid"),
+      lit(".png\",\"type\":\"image/png\"}},"),
+      lit("\"links\":[{\"rel\":\"self\",\"href\":\"https://cat/items/item-"), col("eid"),
+      lit(".json\"},{\"rel\":\"collection\",\"href\":\"./collection.json\"}]}"))
+  }
+
+  /** q70 page size (items per search page). */
+  private val PageLimit = 500
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STAC item-JSON ingest -> searchItems -> asset/link resolution:
     // even ids carry a GeoJSON Polygon geometry, odd ids only a bbox (the
@@ -28,39 +78,8 @@ object SourceQueries {
     // s3:// href is rewritten to cloudferro https
     "q65_stac_ingest" -> { (s, dir) =>
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select($"event_id", $"ts")
-        .withColumn("minx", lit(-76.0) + ($"event_id" % 40).cast("double") * 0.05)
-        .withColumn("miny", lit(2.0) + ($"event_id" % 30).cast("double") * 0.04)
-        .withColumn("maxx", $"minx" + 0.1)
-        .withColumn("maxy", $"miny" + 0.08)
-        .withColumn("epsg",
-          when($"event_id" % 3 === 0, 4326).when($"event_id" % 3 === 1, 3857).otherwise(32618))
-        .withColumn("dt",
-          date_format($"ts".cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
-        .withColumn("eid", $"event_id".cast("string"))
-      def d(c: String): org.apache.spark.sql.Column = col(c).cast("string")
-      val footprint = when($"event_id" % 2 === 0,
-        concat(lit("\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
-          d("minx"), lit(","), d("miny"), lit("],["),
-          d("maxx"), lit(","), d("miny"), lit("],["),
-          d("maxx"), lit(","), d("maxy"), lit("],["),
-          d("minx"), lit(","), d("maxy"), lit("],["),
-          d("minx"), lit(","), d("miny"), lit("]]]}")))
-        .otherwise(concat(lit("\"bbox\":["),
-          d("minx"), lit(","), d("miny"), lit(","), d("maxx"), lit(","), d("maxy"), lit("]")))
-      val doc = concat(
-        lit("{\"type\":\"Feature\",\"stac_version\":\"1.0.0\",\"id\":\"item-"), $"eid", lit("\","),
-        footprint,
-        lit(",\"properties\":{\"datetime\":\""), $"dt",
-        lit("\",\"proj:epsg\":"), $"epsg".cast("string"), lit("},"),
-        lit("\"assets\":{\"B01\":{\"href\":\"s3://eodata-waw4-1/items/item-"), $"eid",
-        lit("/B01.tif\",\"type\":\"image/tiff; application=geotiff\"," +
-            "\"eo:bands\":[{\"name\":\"red\"}]}," +
-            "\"thumb\":{\"href\":\"https://cat/thumb/item-"), $"eid",
-        lit(".png\",\"type\":\"image/png\"}},"),
-        lit("\"links\":[{\"rel\":\"self\",\"href\":\"https://cat/items/item-"), $"eid",
-        lit(".json\"},{\"rel\":\"collection\",\"href\":\"./collection.json\"}]}"))
+      val ev = evBase(s, dir)
+      val doc = itemDoc
       // materialize the PARSED catalog (the engine analog of the reference's
       // 2h layer-metadata cache): without a materialization boundary,
       // predicate pushdown + JSON-expression pruning rewrite every search
@@ -73,6 +92,69 @@ object SourceQueries {
         .select($"item_id", $"epsg".cast("bigint").as("epsg"), $"ts",
                 StacIngest.assetHref($"assets", "red").as("href"),
                 StacIngest.linkTo($"links", "self").as("self_href"))
+        .orderBy($"item_id")
+    },
+
+    // STAC catalog traversal + paged search (StacResource.java:76-97 search
+    // discovery, StacParser.java:118-153 both item paths): a synthesized
+    // multi-document catalog — rootA has a rel=search endpoint and three
+    // child collections whose items arrive as PAGED FeatureCollections
+    // (500/page) chained by rel=next; rootB is a STATIC catalog whose
+    // collection links every item doc with rel=item; collection col-4 and
+    // its whole page chain exist but are ORPHANED (no root links them).
+    // The traversal must reassemble every chain (parallel pointer jumping)
+    // and emit exactly the reachable items — a dropped tail page, a broken
+    // ./-href resolution, or an orphan leak all flip the compare.
+    "q70_stac_traversal" -> { (s, dir) =>
+      import s.implicits._
+      val ev = evBase(s, dir)
+        .withColumn("c", ($"event_id" % 5).cast("int"))
+        .withColumn("doc", itemDoc)
+      def pageUrl(c: Column, pg: Column): Column =
+        concat(lit("https://cat/search?collections=col-"), c.cast("string"),
+               lit(s"&limit=$PageLimit"),
+               when(pg > 0, concat(lit("&page="), (pg + 1).cast("string"))).otherwise(lit("")))
+      // paged search feeds for collections 0,1,2 (reachable) and 4 (orphan)
+      val w = Window.partitionBy($"c").orderBy($"event_id")
+      val paged = ev.filter($"c" =!= 3)
+        .withColumn("pg", ((row_number().over(w) - 1) / PageLimit).cast("long"))
+      val pages = paged.groupBy($"c", $"pg")
+        .agg(concat_ws(",", collect_list($"doc")).as("feats"))
+        .join(paged.groupBy($"c").agg(max($"pg").as("max_pg")), "c")
+        .select(
+          pageUrl($"c", $"pg").as("url"),
+          concat(lit("{\"type\":\"FeatureCollection\",\"features\":["), $"feats",
+                 lit("],\"links\":["),
+                 when($"pg" < $"max_pg",
+                   concat(lit("{\"rel\":\"next\",\"href\":\""),
+                          pageUrl($"c", $"pg" + 1), lit("\"}"))).otherwise(lit("")),
+                 lit("]}")).as("json"))
+      // static catalog: every col-3 item is its own document, linked rel=item
+      val staticItems = ev.filter($"c" === 3)
+        .select(concat(lit("https://cat/col-3/items/item-"), $"eid", lit(".json")).as("url"),
+                $"doc".as("json"))
+      val col3 = ev.filter($"c" === 3)
+        .agg(concat(
+          lit("{\"type\":\"Collection\",\"id\":\"col-3\",\"links\":["),
+          concat_ws(",", collect_list(concat(
+            lit("{\"rel\":\"item\",\"href\":\"./items/item-"), $"eid", lit(".json\"}")))),
+          lit("]}")).as("json"))
+        .select(lit("https://cat/col-3/collection.json").as("url"), $"json")
+      val constDocs = (Seq(
+        ("https://cat/rootA.json",
+         """{"type":"Catalog","id":"rootA","links":[""" +
+           (0 to 2).map(c => s"""{"rel":"child","href":"./col-$c/collection.json"}""")
+             .mkString(",") +
+           """,{"rel":"search","href":"https://cat/search"}]}"""),
+        ("https://cat/rootB.json",
+         """{"type":"Catalog","id":"rootB","links":[{"rel":"child","href":"./col-3/collection.json"}]}""")) ++
+        Seq(0, 1, 2, 4).map(c => (s"https://cat/col-$c/collection.json",
+          s"""{"type":"Collection","id":"col-$c","links":[]}""")))
+        .toDF("url", "json")
+      val docs = pages.unionByName(staticItems).unionByName(col3).unionByName(constDocs)
+      StacTraversal.walkItems(docs, "url", "json",
+          Seq("https://cat/rootA.json", "https://cat/rootB.json"), PageLimit)
+        .select($"collection_id", $"item_id", $"epsg".cast("bigint").as("epsg"), $"ts")
         .orderBy($"item_id")
     },
 
@@ -146,6 +228,14 @@ object SourceQueries {
          |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
          |  AND ms >= $QStart AND ms <= $QEnd
          |ORDER BY item_id""".stripMargin,
+
+    "q70_stac_traversal" ->
+      """SELECT concat('col-', CAST(event_id % 5 AS VARCHAR)) AS collection_id,
+        |       concat('item-', CAST(event_id AS VARCHAR)) AS item_id,
+        |       CAST(CASE WHEN event_id % 3 = 0 THEN 4326
+        |                 WHEN event_id % 3 = 1 THEN 3857 ELSE 32618 END AS BIGINT) AS epsg,
+        |       epoch_ms(ts) AS ts
+        |FROM events WHERE event_id % 5 <> 4 ORDER BY item_id""".stripMargin,
 
     "q66_wcs_describe" ->
       """SELECT concat('layer__', CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR)) AS identifier,

@@ -138,7 +138,13 @@ object StacIngest {
     // difference between one JSON parse per row and dozens (measured 7x on
     // the q65 oracle query)
     val parsed = docs.select(col("*"), from_json(col(jsonCol), itemSchema).as("__j"))
-    val j = col("__j")
+    parsed.select(itemProjection(col("__j")): _*)
+  }
+
+  /** The item struct -> columns mapping shared by [[parseItems]] (whole-doc
+    * items) and [[StacTraversal]] (items exploded from search-page
+    * FeatureCollections — same struct shape). */
+  private[sources] def itemProjection(j: Column): Seq[Column] = {
     val props = j.getField("properties")
     val bbox = j.getField("bbox")
     // footprint: the geometry's outer ring when the POLYGON coordinates
@@ -153,7 +159,7 @@ object StacIngest {
         get(bbox, lit(2)), get(bbox, lit(3)), get(bbox, lit(0)), get(bbox, lit(3))))
     def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
     val ts = ms(coalesce(props.getField("datetime"), props.getField("start_datetime")))
-    parsed.select(
+    Seq(
       j.getField("id").as("item_id"),
       ring.as("ring"),
       coalesce(ms(props.getField("start_datetime")), ts).as("t_start"),

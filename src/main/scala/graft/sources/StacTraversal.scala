@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * STAC catalog traversal + paged item search over a FETCHED document set
+ * (S6/S7 orchestration — the reference walks these links with live HTTP,
+ * adapters/stac/StacResource.java:76-97 Catalog search-endpoint discovery,
+ * :156-178 Collection -> Catalog resolution; adapters/stac/StacParser.java:
+ * 118-153 readAssetsFromCollection's two paths: search endpoint with a
+ * `?collections=<id>&limit=N` query, else the static rel=item links. Network
+ * fetch is out of contract here: the input is a (url, json) table of
+ * already-mirrored documents, and traversal = reachability over it).
+ *
+ * Spark-first shapes:
+ *  - link edges are one exploded projection; `./`/`../` href resolution is
+ *    column arithmetic (StacParser.getUrlOfItem:94-103 semantics);
+ *  - catalog -> collection is a single equi-join (catalogs are 2 levels
+ *    deep, not a general graph);
+ *  - the `rel=next` page chain is REASSEMBLED BY PARALLEL POINTER JUMPING:
+ *    every page starts labeled with its predecessor (or itself) and each
+ *    round relabels through `head := head(head)`, so a chain of L pages
+ *    resolves to its first page in ceil(log2 L) distributed rounds with
+ *    O(pages) state — a sequential next-link walk would take L driver
+ *    round-trips, and a transitive-closure join O(L^2) pairs;
+ *  - items never pass through the driver: search pages re-parse only their
+ *    `features` array (pruned from_json) and explode, static items parse
+ *    their own documents.
+ */
+object StacTraversal {
+
+  /** Navigation facet of any STAC document kind (catalog / collection /
+    * FeatureCollection page / item): just type, id, links. */
+  val navSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("id", StringType),
+    StructField("links", ArrayType(StacIngest.linkType))))
+
+  /** Search-page facet: the features array, each an item struct. */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("features", ArrayType(StacIngest.itemSchema))))
+
+  /** `./`/`../` href resolution against the source document url
+    * (StacParser.getUrlOfItem:94-103). */
+  private def resolveHref(src: Column, href: Column): Column = {
+    val dir = regexp_replace(src, "[^/]*$", "")      // strip the doc name
+    val parent = regexp_replace(dir, "[^/]+/$", "")  // one directory up
+    when(href.startsWith("../"), concat(parent, regexp_replace(href, "^\\.\\./", "")))
+      .when(href.startsWith("./"), concat(dir, regexp_replace(href, "^\\./", "")))
+      .otherwise(href)
+  }
+
+  /**
+   * Walk `roots` (catalog urls) and return every reachable item as
+   * (collection_id, item_id, ring, t_start, t_end, ts, epsg, assets, links).
+   *
+   * Per catalog, per the reference's branching: a catalog WITH a rel=search
+   * link reads each collection's items from the paged search feed whose
+   * first page is `<search>?collections=<id>&limit=<limit>` and whose later
+   * pages chain by rel=next links; a catalog WITHOUT one follows the
+   * collections' static rel=item links to item documents. Documents not
+   * reachable from a root contribute nothing.
+   */
+  def walkItems(docs: DataFrame, urlCol: String, jsonCol: String,
+                roots: Seq[String], limit: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // nav facet only (no features) — this is the small frame the traversal
+    // joins repeat over, so it is materialized once
+    val nav = docs
+      .select(col(urlCol).as("url"), from_json(col(jsonCol), navSchema).as("__n"))
+      .select($"url", lower($"__n.type").as("doc_type"), $"__n.id".as("doc_id"),
+              $"__n.links".as("links"))
+      .localCheckpoint(true)
+
+    val edges = nav
+      .select($"url".as("src"), explode_outer($"links").as("l"))
+      .select($"src", lower($"l.rel").as("rel"), resolveHref($"src", $"l.href").as("dst"))
+      .filter($"rel".isNotNull)
+
+    val rootDf = roots.toDF("root_url")
+    val rootEdges = edges.join(broadcast(rootDf), $"src" === $"root_url")
+
+    // per-root search endpoint (0..1 per catalog, StacResource.java:88-89)
+    val searchEp = rootEdges.filter($"rel" === "search")
+      .select($"root_url", $"dst".as("search_url"))
+
+    // catalog -> collection (type-checked like Collection(url),
+    // StacResource.java:156-166)
+    val collections = rootEdges.filter($"rel" === "child")
+      .select($"root_url", $"dst".as("coll_url"))
+      .join(nav.filter($"doc_type" === "collection").select(
+        $"url".as("coll_url"), $"doc_id".as("collection_id")), "coll_url")
+      .join(broadcast(searchEp), Seq("root_url"), "left")
+      .localCheckpoint(true)
+
+    // ---- paged search path ----
+    val firstPages = collections.filter($"search_url".isNotNull)
+      .select($"collection_id",
+        concat($"search_url", lit("?collections="), $"collection_id",
+               lit(s"&limit=$limit")).as("head"))
+
+    // parallel pointer jumping over the rel=next chain: label every page
+    // with (eventually) its chain head; each round doubles the jump length
+    val nextRev = edges.filter($"rel" === "next").select($"dst".as("url"), $"src".as("prev"))
+    var lab = nav.filter($"doc_type" === "featurecollection").select($"url")
+      .join(nextRev, Seq("url"), "left")
+      .select($"url", coalesce($"prev", $"url").as("head"))
+      .localCheckpoint(true)
+    var changed = true
+    while (changed) {
+      val jumped = lab.as("a")
+        .join(lab.as("b").select($"url".as("hu"), $"head".as("hh")),
+              col("a.head") === col("hu"), "left")
+        .select(col("a.url").as("url"), coalesce($"hh", col("a.head")).as("head"))
+        .localCheckpoint(true)
+      changed = jumped.as("n").join(lab.as("o"), "url")
+        .filter(col("n.head") =!= col("o.head")).limit(1).count() > 0
+      lab = jumped
+    }
+    val searchPages = lab.join(firstPages, Seq("head")).select($"url", $"collection_id")
+
+    val searchItems = docs
+      .join(searchPages, docs(urlCol) === searchPages("url"))
+      .select($"collection_id",
+              explode(from_json(col(jsonCol), pageSchema).getField("features")).as("__j"))
+    val searchOut = searchItems.select(
+      ($"collection_id" +: StacIngest.itemProjection($"__j")): _*)
+
+    // ---- static rel=item path (catalogs without a search endpoint) ----
+    val staticItemUrls = collections.filter($"search_url".isNull)
+      .select($"coll_url", $"collection_id")
+      .join(edges.filter($"rel" === "item"), $"coll_url" === $"src")
+      .select($"collection_id", $"dst".as("item_url"))
+    val staticDocs = docs
+      .join(staticItemUrls, docs(urlCol) === staticItemUrls("item_url"))
+      .select($"collection_id", from_json(col(jsonCol), StacIngest.itemSchema).as("__j"))
+    val staticOut = staticDocs.select(
+      ($"collection_id" +: StacIngest.itemProjection($"__j")): _*)
+
+    searchOut.unionByName(staticOut)
+  }
+}
