@@ -339,6 +339,88 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // bicubic mosaic through the semantic DEFAULT chooser (W2 completion,
+    // RasterAdapter.java:59-79 getDefaultForType applied at
+    // WCSAdapter.java:262-276): same geometry as q67 but the kernel comes
+    // from forObservable("quantification", None) — continuous observations
+    // default to BICUBIC (4x4 cubic convolution, JAI a=-0.5). Every target
+    // cell center lands mid-way between source centers (fx = fy = 0.5), so
+    // the 16 taps carry the exact dyadic weights (-1, 9, 9, -1)/16 per axis
+    // and the result is an exact rational the oracle replays bit-for-bit
+    // (border taps clamp, JAI border extension).
+    "q71_mosaic_bicubic_default" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      val items = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].map { k =>
+          val w = 30; val h = 20
+          Raster(f"item-$k%03d", k, w, h,
+                 k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
+                 Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+        }
+      val region = TileGeometry(50, 40, 0.0, 100.0, 0.0, 80.0, 4326, 0L, 0L)
+      val kernel = graft.raster.Resample.forObservable("quantification", None)
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       kernel, maxCells = 500L)
+        .flatMap { r =>
+          val x0 = math.round(r.minX / 2.0).toInt
+          val y0 = math.round(r.minY / 2.0).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 40 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
+    // UTM leg of the CRS stack on an oracle-checked path (J3 completion —
+    // the round-2 verdict's missing #4): the q64 shape but the odd items are
+    // georeferenced in EPSG:32618 (UTM 18N, 8km cells), so every odd
+    // contribution runs the Krüger n-series forward transform
+    // (Crs.Utm.fromLonLat) inside Mosaic's CRS hook; the oracle replays the
+    // whole series — constants from F, atanh via ln, sinh/cosh via exp —
+    // with the JVM's exact expression structure (q63's spell-it-out
+    // discipline). The envelope prefilter additionally exercises the
+    // INVERSE transform (conservative bbox only; per-cell refine is exact).
+    "q72_mosaic_utm" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      val items = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].map { k =>
+          val w = 30; val h = 20
+          val vals = Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)
+          if (k % 2 == 0)
+            Raster(f"item-$k%03d", k, w, h,
+                   -76.0 + k * 0.08, -76.0 + k * 0.08 + 0.9,
+                   2.0 + k * 0.05, 2.0 + k * 0.05 + 0.5, 4326, Seq(vals))
+          else
+            Raster(f"item-$k%03d", k, w, h,
+                   370000.0 + k * 4000.0, 370000.0 + k * 4000.0 + 240000.0,
+                   200000.0 + k * 6000.0, 200000.0 + k * 6000.0 + 160000.0, 32618, Seq(vals))
+        }
+      val region = TileGeometry(100, 80, -76.0, -74.0, 2.0, 3.6, 4326, 0L, 0L)
+      val cw = region.cellWidth; val ch = region.cellHeight
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       maxCells = 2000L)
+        .flatMap { r =>
+          val x0 = math.round((r.minX - region.minX) / cw).toInt
+          val y0 = math.round((r.minY - region.minY) / ch).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // mixed-CRS mosaic (StacResource.java:421-427 unify-to-4326): 25 items,
     // even nation keys georeferenced in EPSG:4326 (0.1 deg cells), odd keys
     // in EPSG:3857 (12 km cells), SUBSTITUTE-merged onto a 100x80 EPSG:4326
@@ -377,6 +459,65 @@ object RasterQueries {
         .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
         .orderBy(col("cx"), col("cy"))
     })
+
+  /** q72 region: 100x80 cells over lon [-76, -74], lat [2, 3.6] —
+    * inside UTM zone 18 so the Krüger series stays convergent. */
+  private val UtmRegionSql =
+    """cells AS (
+      |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+      |cc AS (
+      |  SELECT cx, cy,
+      |         -76.0E0 + (cx + 0.5E0) * ((-74.0E0 - (-76.0E0)) / 100) AS wx,
+      |         2.0E0 + (cy + 0.5E0) * ((3.6E0 - 2.0E0) / 80) AS wy
+      |  FROM cells)""".stripMargin
+
+  /** The Krüger n^3 forward series (Crs.Utm.fromLonLat) spelled out in SQL
+    * with the JVM's exact expression structure: constants from
+    * F = 1/298.257223563, atanh(v) = 0.5*ln((1+v)/(1-v)),
+    * sinh/cosh via exp. Emits (cx, cy, ux, uy) for zone 18 north. */
+  private val UtmForwardSql =
+    """konst AS (
+      |  SELECT n, n * n AS n2, (n * n) * n AS n3,
+      |         (2 * sqrt(n)) / (1 + n) AS e2s
+      |  FROM (SELECT f / (2 - f) AS n
+      |        FROM (SELECT 1.0E0 / 298.257223563E0 AS f))),
+      |konst2 AS (
+      |  SELECT n, n2, n3, e2s,
+      |         6378137.0E0 / (1 + n) * (1 + n2 / 4 + n2 * n2 / 64) AS abar,
+      |         n / 2 - 2 * n2 / 3 + 5 * n3 / 16 AS a1,
+      |         13 * n2 / 48 - 3 * n3 / 5 AS a2,
+      |         61 * n3 / 240 AS a3
+      |  FROM konst),
+      |ll AS (
+      |  SELECT cx, cy, wx, wy,
+      |         wy / 180 * pi() AS phi,
+      |         wx / 180 * pi() - ((18 * 6.0E0 - 183.0E0) / 180 * pi()) AS lam,
+      |         sin(wy / 180 * pi()) AS sp
+      |  FROM cc),
+      |tt AS (
+      |  SELECT l.*, k.*,
+      |         (exp(0.5E0 * ln((1 + sp) / (1 - sp)) - k.e2s * (0.5E0 * ln((1 + k.e2s * sp) / (1 - k.e2s * sp))))
+      |          - exp(-(0.5E0 * ln((1 + sp) / (1 - sp)) - k.e2s * (0.5E0 * ln((1 + k.e2s * sp) / (1 - k.e2s * sp)))))) / 2 AS t
+      |  FROM ll l, konst2 k),
+      |pp AS (
+      |  SELECT *, atan2(t, cos(lam)) AS xip,
+      |         0.5E0 * ln((1 + sin(lam) / sqrt(1 + t * t)) / (1 - sin(lam) / sqrt(1 + t * t))) AS etap
+      |  FROM tt),
+      |xe AS (
+      |  SELECT cx, cy,
+      |         xip + a1 * sin(2 * xip) * ((exp(2 * etap) + exp(-(2 * etap))) / 2)
+      |             + a2 * sin(4 * xip) * ((exp(4 * etap) + exp(-(4 * etap))) / 2)
+      |             + a3 * sin(6 * xip) * ((exp(6 * etap) + exp(-(6 * etap))) / 2) AS xi,
+      |         etap + a1 * cos(2 * xip) * ((exp(2 * etap) - exp(-(2 * etap))) / 2)
+      |              + a2 * cos(4 * xip) * ((exp(4 * etap) - exp(-(4 * etap))) / 2)
+      |              + a3 * cos(6 * xip) * ((exp(6 * etap) - exp(-(6 * etap))) / 2) AS eta,
+      |         abar
+      |  FROM pp),
+      |utm AS (
+      |  SELECT cx, cy,
+      |         500000.0E0 + 0.9996E0 * abar * eta AS ux,
+      |         0.0E0 + 0.9996E0 * abar * xi AS uy
+      |  FROM xe)""".stripMargin
 
   /**
    * The distributed raster mosaic (Mosaic.mergeToTiles) driven end-to-end:
@@ -563,6 +704,38 @@ object RasterQueries {
         |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
         |ORDER BY c.cx, c.cy""".stripMargin,
 
+    // q71: the 4x4 cubic-convolution replay. fx = fy = 0.5 everywhere, so
+    // per-axis tap weights are (-1, 9, 9, -1)/16; the 16 products are summed
+    // as INTEGERS and divided by 256 once — every intermediate is an exactly
+    // representable dyadic rational, so Spark's nested-loop accumulation and
+    // this flat SUM agree bitwise.
+    "q71_mosaic_bicubic_default" ->
+      """WITH cells AS (
+        |  SELECT cx.cx, cy.cy FROM generate_series(0, 49) cx(cx), generate_series(0, 39) cy(cy)),
+        |cc AS (
+        |  SELECT cx, cy, 2 * cx + 1 AS wx, 2 * cy + 1 AS wy FROM cells),
+        |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |hits AS (
+        |  SELECT c.cx, c.cy, i.k, c.wx - i.k * 3 AS sx, c.wy - i.k * 2 AS sy
+        |  FROM cc c, items i
+        |  WHERE c.wx >= i.k * 3 AND c.wx < i.k * 3 + 30
+        |    AND c.wy >= i.k * 2 AND c.wy < i.k * 2 + 20),
+        |taps AS (
+        |  SELECT i, CASE WHEN i = 0 OR i = 3 THEN -1 ELSE 9 END AS c
+        |  FROM generate_series(0, 3) t(i)),
+        |contrib AS (
+        |  SELECT h.cx, h.cy, h.k,
+        |         CAST(CAST(SUM(ti.c * tj.c *
+        |           (h.k * 1000 + (LEAST(GREATEST(h.sx - 2 + ti.i, 0), 29) * 31
+        |                        + LEAST(GREATEST(h.sy - 2 + tj.i, 0), 19) * 17) % 97)) AS BIGINT)
+        |              AS DOUBLE) / 256.0 AS val
+        |  FROM hits h, taps ti, taps tj
+        |  GROUP BY h.cx, h.cy, h.k),
+        |m AS (SELECT cx, cy, arg_max(val, k) AS v FROM contrib GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, c.cx * 40 + c.cy AS cell_idx, m.v
+        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+        |ORDER BY c.cx, c.cy""".stripMargin,
+
     "q63_reproject" ->
       """WITH t AS (
         |  SELECT tx.tx, ty.ty FROM generate_series(0, 99) tx(tx), generate_series(0, 79) ty(ty)),
@@ -583,6 +756,36 @@ object RasterQueries {
         |  FROM m)
         |SELECT tx, ty, sx, sy, CAST((sx * 31 + sy * 17) % 997 AS DOUBLE) / 10.0 AS v
         |FROM s ORDER BY tx, ty""".stripMargin,
+
+    "q72_mosaic_utm" ->
+      s"""WITH $UtmRegionSql,
+         |$UtmForwardSql,
+         |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+         |even_contrib AS (
+         |  SELECT c.cx, c.cy, i.k,
+         |         CAST(i.k * 1000
+         |           + (LEAST(GREATEST(CAST(FLOOR((c.wx - (-76.0E0 + i.k * 0.08E0)) / (0.9E0 / 30)) AS BIGINT), 0), 29) * 31
+         |            + LEAST(GREATEST(CAST(FLOOR((c.wy - (2.0E0 + i.k * 0.05E0)) / (0.5E0 / 20)) AS BIGINT), 0), 19) * 17) % 97
+         |           AS DOUBLE) AS val
+         |  FROM cc c, items i
+         |  WHERE i.k % 2 = 0
+         |    AND c.wx >= -76.0E0 + i.k * 0.08E0 AND c.wx < -76.0E0 + i.k * 0.08E0 + 0.9E0
+         |    AND c.wy >= 2.0E0 + i.k * 0.05E0 AND c.wy < 2.0E0 + i.k * 0.05E0 + 0.5E0),
+         |odd_contrib AS (
+         |  SELECT u.cx, u.cy, i.k,
+         |         CAST(i.k * 1000
+         |           + (LEAST(GREATEST(CAST(FLOOR((u.ux - (370000.0E0 + i.k * 4000.0E0)) / (240000.0E0 / 30)) AS BIGINT), 0), 29) * 31
+         |            + LEAST(GREATEST(CAST(FLOOR((u.uy - (200000.0E0 + i.k * 6000.0E0)) / (160000.0E0 / 20)) AS BIGINT), 0), 19) * 17) % 97
+         |           AS DOUBLE) AS val
+         |  FROM utm u, items i
+         |  WHERE i.k % 2 = 1
+         |    AND u.ux >= 370000.0E0 + i.k * 4000.0E0 AND u.ux < 370000.0E0 + i.k * 4000.0E0 + 240000.0E0
+         |    AND u.uy >= 200000.0E0 + i.k * 6000.0E0 AND u.uy < 200000.0E0 + i.k * 6000.0E0 + 160000.0E0),
+         |contrib AS (SELECT * FROM even_contrib UNION ALL SELECT * FROM odd_contrib),
+         |m AS (SELECT cx, cy, arg_max(val, k) AS v FROM contrib GROUP BY 1, 2)
+         |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
+         |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+         |ORDER BY c.cx, c.cy""".stripMargin,
 
     "q64_mosaic_mixed_crs" ->
       """WITH cells AS (

@@ -150,6 +150,36 @@ class CrsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("UTM against published sample points") {
+    // equator on the zone-31 central meridian (3E): E = 500000 by
+    // construction, N = 0
+    val z31 = Crs.Utm(31, north = true)
+    val (e0, n0) = z31.fromLonLat(3.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6, s"($e0, $n0)")
+    // the classic zone-edge point (0E, 0N) in zone 31N: published UTM
+    // easting 166021.443 m (e.g. the USGS/EPSG worked example)
+    val (e1, n1) = z31.fromLonLat(0.0, 0.0)
+    assert(math.abs(e1 - 166021.443) < 0.05, s"easting $e1")
+    assert(math.abs(n1) < 1e-6, s"northing $n1")
+    // 45N on the central meridian: northing = k0 * meridian arc M(45) =
+    // 0.9996 * 4984944.378 m = 4982950.400 m (published meridian-distance
+    // tables for WGS84)
+    val (e2, n2) = z31.fromLonLat(3.0, 45.0)
+    assert(math.abs(e2 - 500000.0) < 1e-6, s"easting $e2")
+    assert(math.abs(n2 - 4982950.400) < 0.5, s"northing $n2")
+    // same point, southern counterpart (EPSG:32731 false northing 10^7)
+    val z31s = Crs.Utm(31, north = false)
+    val (_, n3) = z31s.fromLonLat(3.0, -45.0)
+    assert(math.abs(n3 - (10000000.0 - 4982950.400)) < 0.5, s"northing $n3")
+    // round-trips at the q72 fixture's zone/latitudes are sub-mm
+    val z18 = Crs.Utm(18, north = true)
+    for (lon <- Seq(-76.0, -75.3, -74.1); lat <- Seq(2.0, 2.8, 3.6)) {
+      val (x, y) = z18.fromLonLat(lon, lat)
+      val (lon2, lat2) = z18.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
   test("semantic interpolation chooser") {
     assert(Resample.forObservable("quantification") == Resample.Bicubic)
     assert(Resample.forObservable("MEASURE") == Resample.Bicubic)
