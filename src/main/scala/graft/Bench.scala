@@ -11,6 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * — that would flatter every query). The flagship interleaved-docs pipeline
  * (q16 + q17) is additionally reported as docs/sec — the BASELINE.json
  * headline metric (spatial-join + tile-assignment throughput).
+ *
+ * Warmup: every query runs once at the SMALLEST testdata scale before any
+ * measurement, so the measured pass times the PLAN (JIT-compiled, codegen
+ * cache warm) rather than first-call classloading — one-shot cold numbers
+ * vary 3-5x on codegen-heavy plans and made earlier rounds' BENCH.md
+ * irreproducible. Failures are never silent: a failed query records -1 in
+ * "queries", lands in "errors" with its exception, and prints a full stack
+ * to stderr.
  */
 object Bench {
 
@@ -36,12 +44,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure the
-    // plan, not first-call JIT + classloading
-    try force(SparkEntry.queries("q01_pricing_summary")(spark, sfDir)) catch { case _: Throwable => () }
+    // JVM/codegen warmup: every query once at the smallest scale (falls back
+    // to the bench scale if no sibling sf dir exists). Warmup failures are
+    // reported but don't abort — the measured pass decides.
+    val warmDir = {
+      val small = new java.io.File(sfDir).getParent + "/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try force(fn(spark, warmDir))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: $t")
+      }
+    }
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val sec = try time(force(fn(spark, sfDir))) catch {
+        case t: Throwable =>
+          errors(name) = t.toString.take(300)
+          System.err.println(s"[bench] $name FAILED:")
+          t.printStackTrace()
+          -1.0
+      }
       name -> sec
     }
 
@@ -53,11 +78,18 @@ object Bench {
     }
     val docsPerSec = if (flagshipSec > 0) nDocs / flagshipSec else 0.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""flagship_docs_per_sec":$docsPerSec,"flagship_sec":$flagshipSec,"n_docs":$nDocs,"cpus":$cpus}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+      s""""sf":"$sfDir","flagship_docs_per_sec":$docsPerSec,"flagship_sec":$flagshipSec,""" +
+      s""""n_docs":$nDocs,"cpus":$cpus,"warmup_dir":"$warmDir"}""")
     spark.stop()
   }
 }

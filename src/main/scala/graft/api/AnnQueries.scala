@@ -70,11 +70,16 @@ object AnnQueries {
   private val IntInitCents: Seq[Seq[Long]] =
     (0 until IvfK).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toLong * 166667L))
 
-  private def centArrayLit(cents: Seq[Seq[Double]]): Column =
-    array(cents.map(ws => array(ws.map(lit): _*)): _*)
+  // typedLit, not array(array(lit...)): a K x 64 codebook as nested
+  // CreateArray trees is ~1000 Literal nodes that janino compiles cold on
+  // every fresh JVM (seconds of codegen for q43/q44 under the driver's
+  // one-shot bench); typedLit is ONE Literal carrying the ArrayData value —
+  // same semantics, constant plan size. This is also the structural story
+  // for large K: the codebook enters the plan as a single broadcast value,
+  // not as an expression tree that grows with K.
+  private def centArrayLit(cents: Seq[Seq[Double]]): Column = typedLit(cents)
 
-  private def centArrayLitL(cents: Seq[Seq[Long]]): Column =
-    array(cents.map(ws => array(ws.map(lit): _*)): _*)
+  private def centArrayLitL(cents: Seq[Seq[Long]]): Column = typedLit(cents)
 
   /** Zero-shuffle IVF assignment: per row, dots against every centroid in a
     * literal codebook, struct-sorted (-dot, c) -> the nprobe best centroids.

@@ -118,9 +118,11 @@ object SourceQueries {
       val w = Window.partitionBy($"c").orderBy($"event_id")
       val paged = ev.filter($"c" =!= 3)
         .withColumn("pg", ((row_number().over(w) - 1) / PageLimit).cast("long"))
+      // max_pg via a window over the (tiny) aggregated page frame — joining
+      // a second groupBy over `paged` would recompute the whole window pass
       val pages = paged.groupBy($"c", $"pg")
         .agg(concat_ws(",", collect_list($"doc")).as("feats"))
-        .join(paged.groupBy($"c").agg(max($"pg").as("max_pg")), "c")
+        .withColumn("max_pg", max($"pg").over(Window.partitionBy($"c")))
         .select(
           pageUrl($"c", $"pg").as("url"),
           concat(lit("{\"type\":\"FeatureCollection\",\"features\":["), $"feats",
@@ -151,7 +153,11 @@ object SourceQueries {
         Seq(0, 1, 2, 4).map(c => (s"https://cat/col-$c/collection.json",
           s"""{"type":"Collection","id":"col-$c","links":[]}""")))
         .toDF("url", "json")
+      // materialize the document set once: the traversal passes over it
+      // three times (nav parse, search-page join, static-item join) and the
+      // fixture's window+agg assembly must not recompute per pass
       val docs = pages.unionByName(staticItems).unionByName(col3).unionByName(constDocs)
+        .localCheckpoint(true)
       StacTraversal.walkItems(docs, "url", "json",
           Seq("https://cat/rootA.json", "https://cat/rootB.json"), PageLimit)
         .select($"collection_id", $"item_id", $"epsg".cast("bigint").as("epsg"), $"ts")

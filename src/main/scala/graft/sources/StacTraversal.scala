@@ -105,22 +105,28 @@ object StacTraversal {
                lit(s"&limit=$limit")).as("head"))
 
     // parallel pointer jumping over the rel=next chain: label every page
-    // with (eventually) its chain head; each round doubles the jump length
+    // with (eventually) its chain head; each round doubles the jump length.
+    // A chain of L <= nPages pages resolves in ceil(log2 nPages) rounds, so
+    // the loop runs that bound BLINDLY with lazy localCheckpoints: no
+    // per-round convergence action — all rounds execute inside the ONE job
+    // that first consumes the labels (extra rounds past convergence are
+    // no-op self-joins). Each round's Dataset plan is a flat join of two
+    // LogicalRDDs (localCheckpoint truncates the plan even when lazy), so
+    // the plan never grows with the chain length.
     val nextRev = edges.filter($"rel" === "next").select($"dst".as("url"), $"src".as("prev"))
     var lab = nav.filter($"doc_type" === "featurecollection").select($"url")
       .join(nextRev, Seq("url"), "left")
       .select($"url", coalesce($"prev", $"url").as("head"))
       .localCheckpoint(true)
-    var changed = true
-    while (changed) {
-      val jumped = lab.as("a")
+    val nPages = lab.count() // cheap: counts the just-checkpointed labels
+    val rounds = if (nPages <= 2) 1
+                 else 64 - java.lang.Long.numberOfLeadingZeros(nPages - 1)
+    for (_ <- 0 until rounds.toInt) {
+      lab = lab.as("a")
         .join(lab.as("b").select($"url".as("hu"), $"head".as("hh")),
               col("a.head") === col("hu"), "left")
         .select(col("a.url").as("url"), coalesce($"hh", col("a.head")).as("head"))
-        .localCheckpoint(true)
-      changed = jumped.as("n").join(lab.as("o"), "url")
-        .filter(col("n.head") =!= col("o.head")).limit(1).count() > 0
-      lab = jumped
+        .localCheckpoint()
     }
     val searchPages = lab.join(firstPages, Seq("head")).select($"url", $"collection_id")
 

@@ -32,6 +32,7 @@ object AnnRecall {
     val plan = graft.SparkEntry.queries("q43_ann_ivf")(spark, dir)
       .queryExecution.executedPlan.toString
     val joinIdx = plan.indexOf("Join")
+    require(joinIdx >= 0, "q43 executed plan contains no probe join — plan shape changed")
     val below = plan.substring(joinIdx)
     println("Q43_WINDOW_BELOW_PROBE_JOIN=" + "Window".r.findAllIn(below).length)
     println("Q43_SHUFFLE_BELOW_PROBE_JOIN=" + "ShuffleExchange".r.findAllIn(below).length)

@@ -56,6 +56,15 @@ class LineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TileLineage.readTable(spark, dir).count() === 1000)
   }
 
+  test("uncommitted data files are invisible to readers (manifest prune)") {
+    val dir = freshDir()
+    TileLineage.runResumable(spark, input, dir)
+    // simulate a killed run's leftover: a valid parquet file under data/
+    // that no lineage record references
+    input.limit(10).write.parquet(dir + "/data/run-orphan")
+    assert(TileLineage.readTable(spark, dir).count() === 1000)
+  }
+
   test("numeric-looking and escaped tile ids survive partition round-trips") {
     import spark.implicits._
     val dir = freshDir()
@@ -91,7 +100,8 @@ class LineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fromData = TileLineage.readTable(spark, dir)
       .groupBy($"tile_id").count().as[(String, Long)].collect().toMap
     assert(fromLineage === fromData)
-    // bytes recorded and positive
-    assert(TileLineage.lineage(spark, dir).filter($"bytes" <= 0).count() === 0)
+    // containing-file bytes recorded and positive, file paths committed
+    assert(TileLineage.lineage(spark, dir).filter($"file_bytes" <= 0).count() === 0)
+    assert(TileLineage.lineage(spark, dir).filter($"file".isNull).count() === 0)
   }
 }
