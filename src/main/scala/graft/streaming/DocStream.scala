@@ -61,6 +61,21 @@ object DocStream {
       .agg(count(lit(1)).as("n_spans"))
   }
 
+  /** Fully-qualified RocksDB state-store provider (shipped with Spark).
+    * HDFSBackedStateStoreProvider (the default) holds every version of every
+    * key IN EXECUTOR HEAP — at 100-TB corpus scale the dedup hash state is
+    * billions of keys and the heap store is the first thing to die. RocksDB
+    * keeps state off-heap/on-disk with incremental checkpointing, so state
+    * size is bounded by local disk, not heap; combined with the TTL below
+    * the state story is config + eviction, not hope. */
+  val RocksDbProvider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch the session's streaming state store to RocksDB (applies to
+    * queries started afterwards; per-query state lives under the query's
+    * checkpoint dir as usual). */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+
   final case class DedupState(firstDocId: Long)
   final case class DedupOut(doc_id: Long, text_hash: String, is_duplicate: Boolean, first_doc_id: Long)
 

@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.isEmpty && st2.isRemoved)
   }
 
+  test("stateful dedup under the RocksDB state store provider") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // fresh session so the provider config cannot leak into other tests
+    val s2 = spark.newSession()
+    DocStream.useRocksDbStateStore(s2)
+    assert(s2.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    val q = DocStream.dedupStream(s2, DocStream.readDocs(s2, dir))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("dedup_rocks").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = s2.sql("SELECT * FROM dedup_rocks")
+    assert(out.count() === 500)
+    val bad = out.groupBy($"text_hash")
+      .agg(sum(when(!$"is_duplicate", 1).otherwise(0)).as("owners"),
+           min($"doc_id").as("min_id"), max($"first_doc_id").as("fid"))
+      .filter($"owners" =!= 1 || $"min_id" =!= $"fid")
+      .count()
+    assert(bad === 0)
+  }
+
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
     import spark.implicits._
     val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
