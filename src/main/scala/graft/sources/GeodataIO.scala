@@ -155,4 +155,51 @@ object GeodataIO {
       }
     } finally w.close()
   }
+
+  /**
+   * Full observation export (GeodataIO.java:190-284 exportObservation): the
+   * raster as GeoTIFF plus its sidecars, optionally zipped. The reference's
+   * conventions are kept:
+   *  - the raster is written as `<stem>.tiff`;
+   *  - a categorical observation (dataKey present) adds the value/label
+   *    attribute table as `<stem>.tiff.vat.csv` (the reference's
+   *    `.tiff.vat.dbf`, GeodataIO.java:216-221 writeAuxDbf — CSV here);
+   *  - a `.zip` target name means "bundle with style sidecars"
+   *    (`addStyle = file.getName().endsWith(".zip")`, GeodataIO.java:197):
+   *    everything is zipped into the target with deterministic entry order
+   *    and timestamps (reproducible bytes — same raster, same zip);
+   *  - any other target name writes the files next to it and returns the
+   *    tiff (the reference's `doNotZip` branch).
+   * Returns the file actually produced.
+   */
+  def exportObservation(r: Raster, file: File, dataKey: Option[DataKey] = None,
+                        band: Int = 0): File = {
+    val zip = file.getName.toLowerCase.endsWith(".zip")
+    val stemName = file.getName.replaceAll("(?i)\\.(zip|tif|tiff)$", "")
+    val dir = if (zip) {
+      val d = java.nio.file.Files.createTempDirectory("graft_export").toFile
+      d.deleteOnExit(); d
+    } else file.getAbsoluteFile.getParentFile
+    val tiff = new File(dir, s"$stemName.tiff")
+    GeoTiff.write(r, tiff, band = band)
+    val sidecars = dataKey.map { k =>
+      val vat = new File(dir, s"$stemName.tiff.vat.csv")
+      writeAuxTable(k, vat)
+      vat
+    }.toSeq
+    if (!zip) tiff
+    else {
+      val out = new java.util.zip.ZipOutputStream(new FileOutputStream(file))
+      try {
+        (tiff +: sidecars).sortBy(_.getName).foreach { f =>
+          val e = new java.util.zip.ZipEntry(f.getName)
+          e.setTime(0L) // deterministic archive bytes
+          out.putNextEntry(e)
+          java.nio.file.Files.copy(f.toPath, out)
+          out.closeEntry()
+        }
+      } finally out.close()
+      file
+    }
+  }
 }

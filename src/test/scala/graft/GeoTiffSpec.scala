@@ -271,6 +271,44 @@ class GeoTiffSpec extends AnyFunSuite {
     reader.dispose()
   }
 
+  test("exportObservation: zip target bundles tiff + vat sidecar deterministically") {
+    import graft.raster.DataKey
+    val r = mkRaster(4326)
+    val key = DataKey.fromLabels(Seq("forest", "urban", "water"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_exp1").toFile
+    val d2 = java.nio.file.Files.createTempDirectory("graft_exp2").toFile
+    d1.deleteOnExit(); d2.deleteOnExit()
+    val zip1 = new File(d1, "obs.zip"); val zip2 = new File(d2, "obs.zip")
+    zip1.deleteOnExit(); zip2.deleteOnExit()
+    GeodataIO.exportObservation(r, zip1, Some(key))
+    GeodataIO.exportObservation(r, zip2, Some(key))
+    // deterministic archive bytes: same raster -> same zip
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(zip1.toPath),
+      java.nio.file.Files.readAllBytes(zip2.toPath)))
+    // entries: the tiff + the vat table; the tiff round-trips
+    val zf = new java.util.zip.ZipFile(zip1)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.count(_.endsWith(".tiff")) == 1)
+      assert(names.count(_.endsWith(".tiff.vat.csv")) == 1)
+      val tiffEntry = names.find(_.endsWith(".tiff")).get
+      val bytes = zf.getInputStream(zf.getEntry(tiffEntry)).readAllBytes()
+      sameValues(r.bands.head, GeoTiff.parse(bytes, "z").bands.head)
+      val vat = new String(zf.getInputStream(
+        zf.getEntry(names.find(_.endsWith(".vat.csv")).get)).readAllBytes(), "UTF-8")
+      assert(vat.contains("forest") && vat.startsWith("Value,Label"))
+    } finally zf.close()
+    // non-zip target: returns the tiff written next to it
+    val plain = tmp(".tiff")
+    val produced = GeodataIO.exportObservation(r, plain)
+    assert(produced.getName.endsWith(".tiff") && produced.exists())
+  }
+
   test("truncated DEFLATE data fails instead of hanging") {
     val r = mkRaster(4326)
     val f = tmp(".tif")
