@@ -194,24 +194,27 @@ object RasterQueries {
       import s.implicits._
       import graft.model.{Raster, TileGeometry}
       import graft.sources.GeoTiff
-      val srcItems = s.read.parquet(s"$dir/nation.parquet")
-        .select($"n_nationkey".cast("long")).as[Long].collect().map { k =>
-          val w = 30; val h = 20
-          Raster(f"item-$k%03d", k, w, h,
-                 k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
-                 Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
-        }
       // staged on local disk (this sandbox is local-mode; a cluster stages
       // to shared storage) and deleted on JVM exit — repeated bench/verify
-      // runs must not leak temp GeoTIFFs
+      // runs must not leak temp GeoTIFFs. The write is DISTRIBUTED: each
+      // executor synthesizes + encodes its own items (q69's pattern)
       val stage = java.nio.file.Files.createTempDirectory("graft_q68").toFile
-      stage.deleteOnExit()
-      srcItems.foreach { r =>
-        val f = new java.io.File(stage, s"${r.item_id}.tif")
-        f.deleteOnExit()
-        GeoTiff.write(r, f, deflate = true)
-      }
-      val items = s.read.format("binaryFile").load(stage.getAbsolutePath + "/*.tif")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try java.nio.file.Files.walk(stage.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val stagePath = stage.getAbsolutePath
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long].foreach { k =>
+          val w = 30; val h = 20
+          val r = Raster(f"item-$k%03d", k, w, h,
+                 k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326,
+                 Seq(Array.tabulate(w * h)(i => k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+          GeoTiff.write(r, new java.io.File(stagePath, s"${r.item_id}.tif"), deflate = true)
+        }
+      val items = s.read.format("binaryFile").load(stagePath + "/*.tif")
         .select($"path", $"content")
         .as[(String, Array[Byte])]
         .map { case (path, bytes) =>
