@@ -153,11 +153,10 @@ object SourceQueries {
         Seq(0, 1, 2, 4).map(c => (s"https://cat/col-$c/collection.json",
           s"""{"type":"Collection","id":"col-$c","links":[]}""")))
         .toDF("url", "json")
-      // materialize the document set once: the traversal passes over it
-      // three times (nav parse, search-page join, static-item join) and the
-      // fixture's window+agg assembly must not recompute per pass
+      // no checkpoint here: walkItems consumes the document set exactly
+      // once (it parses with the union schema and materializes the PARSED
+      // frame), so the fixture assembly runs once end to end
       val docs = pages.unionByName(staticItems).unionByName(col3).unionByName(constDocs)
-        .localCheckpoint(true)
       StacTraversal.walkItems(docs, "url", "json",
           Seq("https://cat/rootA.json", "https://cat/rootB.json"), PageLimit)
         .select($"collection_id", $"item_id", $"epsg".cast("bigint").as("epsg"), $"ts")

@@ -31,17 +31,16 @@ import org.apache.spark.sql.types._
  */
 object StacTraversal {
 
-  /** Navigation facet of any STAC document kind (catalog / collection /
-    * FeatureCollection page / item): just type, id, links. */
-  val navSchema: StructType = StructType(Seq(
-    StructField("type", StringType),
-    StructField("id", StringType),
-    StructField("links", ArrayType(StacIngest.linkType))))
-
-  /** Search-page facet: the features array, each an item struct. */
-  val pageSchema: StructType = StructType(Seq(
-    StructField("type", StringType),
-    StructField("features", ArrayType(StacIngest.itemSchema))))
+  /** Union facet of every STAC document kind the walk touches (catalog /
+    * collection / FeatureCollection page / item): navigation fields, the
+    * page `features` array, and the item fields themselves. ONE schema so
+    * the whole document set is tokenized exactly once — from_json prunes
+    * absent fields per document kind, but a second pass with a narrower
+    * schema would still re-tokenize every byte (JSON parse cost is
+    * tokenization, not schema width). */
+  val docSchema: StructType = StructType(
+    StructField("features", ArrayType(StacIngest.itemSchema)) +:
+      StacIngest.itemSchema.fields.toSeq)
 
   /** `./`/`../` href resolution against the source document url
     * (StacParser.getUrlOfItem:94-103). */
@@ -69,13 +68,18 @@ object StacTraversal {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // nav facet only (no features) — this is the small frame the traversal
-    // joins repeat over, so it is materialized once
-    val nav = docs
-      .select(col(urlCol).as("url"), from_json(col(jsonCol), navSchema).as("__n"))
-      .select($"url", lower($"__n.type").as("doc_type"), $"__n.id".as("doc_id"),
-              $"__n.links".as("links"))
+    // parse EVERY document once with the union schema and materialize: the
+    // traversal makes several passes (edges x3, page features, static
+    // items) and re-parsing per pass re-tokenizes every byte. The parsed
+    // checkpoint trades memory for parse passes — the right trade while
+    // the traversal runs; it is job-scoped (GC'd with the RDD), not a
+    // session cache.
+    val parsed = docs
+      .select(col(urlCol).as("url"), from_json(col(jsonCol), docSchema).as("__j"))
       .localCheckpoint(true)
+    val nav = parsed
+      .select($"url", lower($"__j.type").as("doc_type"), $"__j.id".as("doc_id"),
+              $"__j.links".as("links"))
 
     val edges = nav
       .select($"url".as("src"), explode_outer($"links").as("l"))
@@ -128,25 +132,23 @@ object StacTraversal {
         .select(col("a.url").as("url"), coalesce($"hh", col("a.head")).as("head"))
         .localCheckpoint()
     }
-    val searchPages = lab.join(firstPages, Seq("head")).select($"url", $"collection_id")
+    val searchPages = lab.join(firstPages, Seq("head"))
+      .select($"url", $"collection_id")
 
-    val searchItems = docs
-      .join(searchPages, docs(urlCol) === searchPages("url"))
-      .select($"collection_id",
-              explode(from_json(col(jsonCol), pageSchema).getField("features")).as("__j"))
-    val searchOut = searchItems.select(
-      ($"collection_id" +: StacIngest.itemProjection($"__j")): _*)
+    val searchOut = parsed
+      .join(searchPages, Seq("url"))
+      .select($"collection_id", explode($"__j.features").as("__f"))
+      .select(($"collection_id" +: StacIngest.itemProjection($"__f")): _*)
 
-    // ---- static rel=item path (catalogs without a search endpoint) ----
+    // ---- static rel=item path (catalogs without a search endpoint):
+    // the item documents were already parsed by the union schema ----
     val staticItemUrls = collections.filter($"search_url".isNull)
       .select($"coll_url", $"collection_id")
       .join(edges.filter($"rel" === "item"), $"coll_url" === $"src")
-      .select($"collection_id", $"dst".as("item_url"))
-    val staticDocs = docs
-      .join(staticItemUrls, docs(urlCol) === staticItemUrls("item_url"))
-      .select($"collection_id", from_json(col(jsonCol), StacIngest.itemSchema).as("__j"))
-    val staticOut = staticDocs.select(
-      ($"collection_id" +: StacIngest.itemProjection($"__j")): _*)
+      .select($"collection_id", $"dst".as("url"))
+    val staticOut = parsed
+      .join(staticItemUrls, Seq("url"))
+      .select(($"collection_id" +: StacIngest.itemProjection($"__j")): _*)
 
     searchOut.unionByName(staticOut)
   }
