@@ -47,6 +47,10 @@ object DocQueries {
         .withColumn("tile_id",
           concat(lit("t"), (floor($"cx" / 64.0) * 100 + floor($"cy" / 64.0)).cast("long").cast("string")))
         .select($"doc_id", $"span_idx", $"tile_id")
+        // job-scoped materialization: the span-extraction pipeline above
+        // otherwise recomputes for every pass runResumable makes over the
+        // input (tile census + data write) times the two runs below
+        .localCheckpoint(true)
       val tableDir = java.nio.file.Files.createTempDirectory("graft_q18").toString
       TileLineage.runResumable(s, tiled, tableDir)
       val second = TileLineage.runResumable(s, tiled, tableDir, attempt = 2)
