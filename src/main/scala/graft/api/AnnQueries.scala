@@ -61,7 +61,7 @@ object AnnQueries {
     }.mkString(" + ")} AS BIGINT)"""
 
   /** q43 ladder codebook: centroid c, dim d = (((c*37 + d*11) % 13) - 6) / 6. */
-  private val LadderCents: Seq[Seq[Double]] =
+  private[graft] val LadderCents: Seq[Seq[Double]] =
     (0 until 16).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toDouble / 6.0))
 
   /** q44 integer init codebook (1e6-ish scale, pure integers — no rounding). */
@@ -84,13 +84,47 @@ object AnnQueries {
   /** Zero-shuffle IVF assignment: per row, dots against every centroid in a
     * literal codebook, struct-sorted (-dot, c) -> the nprobe best centroids.
     * Output: (vec_id, v, vn, c, rk) with rk = 1..nprobe (rk 1 = home). */
-  private def assignProbes(emb: DataFrame, cents: Column, nprobe: Int,
-                           dotFn: (Column, Column) => Column, vecCol: String): DataFrame = {
+  private[graft] def assignProbes(emb: DataFrame, cents: Column, nprobe: Int,
+                                  dotFn: (Column, Column) => Column, vecCol: String): DataFrame = {
     val probes = slice(array_sort(transform(cents, (w, c) =>
       struct((-dotFn(col(vecCol), w)).as("negd"), c.cast("int").as("c")))), 1, nprobe)
     emb.select(col("*"), posexplode(probes))
       .withColumn("rk", col("pos") + 1)
       .withColumn("c", col("col.c"))
+      .drop("pos", "col")
+  }
+
+  /**
+   * Large-K twin of [[assignProbes]]: the codebook rides an executor
+   * BROADCAST (SparkContext.broadcast) consumed by a codegen-called UDF,
+   * not a plan literal. A typedLit codebook is right up to K in the
+   * thousands; at the 100-TB design point K ~ sqrt(N) ~ 10^6 centroids
+   * (hundreds of MB) must ship once per executor as a broadcast value —
+   * never serialize into the plan, never crossJoin K rows per vector.
+   * Same shuffle-free shape (one projection + posexplode), and the
+   * arithmetic is identical to the literal path: the UDF accumulates the
+   * dot left-to-right exactly like `aggregate(zip_with(...))` and sorts by
+   * (-dot, c) exactly like the struct array_sort — AnnEquivalenceSpec
+   * asserts bit-identical assignments.
+   */
+  private[graft] def assignProbesBroadcast(emb: DataFrame, cents: Seq[Seq[Double]],
+                                           nprobe: Int, vecCol: String): DataFrame = {
+    val bc = emb.sparkSession.sparkContext.broadcast(cents.map(_.toArray).toArray)
+    val probesUdf = udf { v: Seq[Double] =>
+      val cb = bc.value
+      val arr = v.toArray
+      val scored = Array.tabulate(cb.length) { c =>
+        val w = cb(c)
+        var s = 0.0; var i = 0
+        while (i < w.length) { s += arr(i) * w(i); i += 1 } // zip_with/aggregate order
+        (-s, c)
+      }
+      scored.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        .take(nprobe).map(_._2)
+    }
+    emb.select(col("*"), posexplode(probesUdf(col(vecCol))))
+      .withColumn("rk", col("pos") + 1)
+      .withColumn("c", col("col"))
       .drop("pos", "col")
   }
 
