@@ -306,6 +306,66 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // COG OVERVIEW selection end-to-end (the GDAL/GeoTools read-with-
+    // subsampling behavior): 25 items written as tiled DEFLATE GeoTIFFs
+    // with overview IFD chains — even keys carry x2 AND x4 overviews, odd
+    // keys only x2 — then scanned distributed and decoded via
+    // parseOverview(targetCellWidth = 4.0), which must pick the COARSEST
+    // subfile that still resolves the 4-unit target cells: factor 4 for
+    // even items, factor 2 for odd. The mosaic values are therefore
+    // nearest-decimated full-res values at stride 4 or 2 per parity — the
+    // oracle replays both selection outcomes, so picking the wrong IFD
+    // (or mis-inheriting the envelope from IFD0) flips the compare.
+    "q73_cog_overview_mosaic" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      import graft.sources.GeoTiff
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_q73")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try java.nio.file.Files.walk(stageDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val stagePath = stageDir.toFile.getAbsolutePath
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long]
+        .foreach { k =>
+          val w = 32; val h = 16
+          val r = Raster(f"item-$k%03d", k, w, h,
+                         k * 6.0, k * 6.0 + 32.0, k * 4.0, k * 4.0 + 16.0, 4326,
+                         Seq(Array.tabulate(w * h)(i =>
+                           k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+          GeoTiff.writeFull(r, new java.io.File(stagePath, s"${r.item_id}.tif"),
+            bits = 32, deflate = true, tile = Some((16, 16)),
+            overviews = if (k % 2 == 0) Seq(2, 4) else Seq(2))
+        }
+      val region = TileGeometry(100, 80, 0.0, 400.0, 0.0, 320.0, 4326, 0L, 0L)
+      val items = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          GeoTiff.parseOverview(bytes, id, ts = id.stripPrefix("item-").toLong,
+                                targetCellWidth = 4.0)
+        }
+      graft.raster.Mosaic.mergeToTiles(items, region, graft.raster.Mosaic.Substitute,
+                                       maxCells = 2000L)
+        .flatMap { r =>
+          val x0 = math.round(r.minX / 4.0).toInt
+          val y0 = math.round(r.minY / 4.0).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // kernel-switched mosaic (W2 + the semantic chooser's override path,
     // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
     // coarser region — every target cell center lands exactly between four
@@ -704,6 +764,36 @@ object RasterQueries {
         |  FROM hits),
         |m AS (SELECT cx, cy, arg_max(val, k) AS v FROM contrib GROUP BY 1, 2)
         |SELECT c.cx, c.cy, c.cx * 40 + c.cy AS cell_idx, m.v
+        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+        |ORDER BY c.cx, c.cy""".stripMargin,
+
+    // q73: overview-selection replay. Region cell centers wx = 4cx+2 land
+    // in item k's grid (origin 6k/4k, full cells of 1); the engine reads
+    // the factor-4 overview for even k (values at full-res stride 4) and
+    // the factor-2 overview for odd k (stride 2). Pure integer arithmetic
+    // in both engines.
+    "q73_cog_overview_mosaic" ->
+      """WITH cells AS (
+        |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+        |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |hits AS (
+        |  SELECT c.cx, c.cy, i.k,
+        |         4 * c.cx + 2 - 6 * i.k AS sx, 4 * c.cy + 2 - 4 * i.k AS sy
+        |  FROM cells c, items i
+        |  WHERE 4 * c.cx + 2 >= 6 * i.k AND 4 * c.cx + 2 < 6 * i.k + 32
+        |    AND 4 * c.cy + 2 >= 4 * i.k AND 4 * c.cy + 2 < 4 * i.k + 16),
+        |contrib AS (
+        |  SELECT cx, cy, k,
+        |         CAST(k * 1000 + CASE WHEN k % 2 = 0 THEN
+        |           (4 * LEAST(GREATEST(CAST(FLOOR(sx / 4.0) AS BIGINT), 0), 7) * 31
+        |          + 4 * LEAST(GREATEST(CAST(FLOOR(sy / 4.0) AS BIGINT), 0), 3) * 17) % 97
+        |         ELSE
+        |           (2 * LEAST(GREATEST(CAST(FLOOR(sx / 2.0) AS BIGINT), 0), 15) * 31
+        |          + 2 * LEAST(GREATEST(CAST(FLOOR(sy / 2.0) AS BIGINT), 0), 7) * 17) % 97
+        |         END AS DOUBLE) AS v
+        |  FROM hits),
+        |m AS (SELECT cx, cy, arg_max(v, k) AS v FROM contrib GROUP BY 1, 2)
+        |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
         |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
         |ORDER BY c.cx, c.cy""".stripMargin,
 

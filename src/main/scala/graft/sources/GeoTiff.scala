@@ -16,8 +16,10 @@ import graft.model.Raster
  * (TileWidth/TileLength multiples of 16 per TIFF 6.0 §15), optional DEFLATE
  * (compression 8, java.util.zip), with ModelPixelScale + ModelTiepoint
  * georeferencing, a GeoKeyDirectory carrying the EPSG code (geographic 2048 /
- * projected 3072 per CRS kind), and the GDAL_NODATA ascii tag ("nan" — the
- * engine's nodata is NaN).
+ * projected 3072 per CRS kind), the GDAL_NODATA ascii tag ("nan" — the
+ * engine's nodata is NaN), and optional OVERVIEW IFDs (the COG shape:
+ * reduced-resolution subfiles chained after IFD0, NewSubfileType=1,
+ * nearest top-left decimation — GDAL's overview convention).
  *
  * Reader: either byte order, strips or tiles, chunky or planar interleave,
  * any SamplesPerPixel (the multi-band COG shape the reference selects bands
@@ -26,8 +28,14 @@ import graft.model.Raster
  * formats IEEE-float 32/64 and signed/unsigned int 8/16/32 (ints are widened
  * to the double plane; a GDAL_NODATA value maps to NaN). Band selection
  * happens AT DECODE ([[parseBands]]): with planar interleave the unselected
- * planes' strips/tiles are never even inflated. Palette TIFFs are out of
- * scope (the reference reads continuous coverages).
+ * planes' strips/tiles are never even inflated. Overview selection
+ * ([[parseOverview]]) walks the IFD chain and decodes the COARSEST subfile
+ * that still resolves the requested cell size — the GeoTools/GDAL
+ * read-with-subsampling-hints behavior the reference gets from its
+ * GridCoverage readers. Palette TIFFs are out of scope (the reference reads
+ * continuous coverages). Classic TIFF only (32-bit offsets, <4 GiB — the
+ * tiling discipline keeps per-file sizes far below that; BigTIFF is a
+ * non-goal).
  *
  * Pixel order: TIFF rows are top-down; [[Raster]] is column-major with row 0
  * at the south edge (D2_XY) — the codec transposes on both paths, and the
@@ -36,6 +44,7 @@ import graft.model.Raster
 object GeoTiff {
 
   // TIFF tag codes
+  private val TNewSubfileType = 254
   private val TImageWidth = 256
   private val TImageLength = 257
   private val TBitsPerSample = 258
@@ -71,97 +80,111 @@ object GeoTiff {
 
   /**
    * Write ALL bands of the raster as a GeoTIFF.
-   * @param bits    32 | 64 (IEEE float samples)
-   * @param deflate DEFLATE-compress every strip/tile independently
-   * @param tile    Some((tileW, tileH)) writes a tiled TIFF (dims must be
-   *                multiples of 16, TIFF 6.0 §15); None writes one strip per
-   *                plane
-   * @param planar  1 = chunky (samples interleaved per pixel),
-   *                2 = planar (each band its own strips/tiles)
+   * @param bits      32 | 64 (IEEE float samples)
+   * @param deflate   DEFLATE-compress every strip/tile independently
+   * @param tile      Some((tileW, tileH)) writes a tiled TIFF (dims must be
+   *                  multiples of 16, TIFF 6.0 §15); None writes one strip
+   *                  per plane
+   * @param planar    1 = chunky (samples interleaved per pixel),
+   *                  2 = planar (each band its own strips/tiles)
+   * @param overviews decimation factors (e.g. Seq(2, 4)) appended as
+   *                  reduced-resolution IFDs — nearest top-left sampling,
+   *                  value(x, y) = full(x*f, y*f) clamped at edges
    */
   def writeFull(r: Raster, file: File, bits: Int = 64, deflate: Boolean = false,
-                tile: Option[(Int, Int)] = None, planar: Int = 1): Unit =
-    Files.write(Paths.get(file.getPath), encode(r, bits, deflate, tile, planar))
+                tile: Option[(Int, Int)] = None, planar: Int = 1,
+                overviews: Seq[Int] = Nil): Unit =
+    Files.write(Paths.get(file.getPath), encode(r, bits, deflate, tile, planar, overviews))
+
+  /** Nearest top-left decimation by `f` (the GDAL NEAREST overview rule). */
+  private def decimate(r: Raster, f: Int): Raster = {
+    require(f >= 2, s"overview factor $f")
+    val w2 = (r.width + f - 1) / f; val h2 = (r.height + f - 1) / f
+    val bands = r.bands.map { b =>
+      Array.tabulate(w2 * h2) { i =>
+        val x2 = i / h2; val y2 = i % h2
+        val x = math.min(x2 * f, r.width - 1); val y = math.min(y2 * f, r.height - 1)
+        b(x * r.height + y)
+      }
+    }
+    Raster(r.item_id, r.ts, w2, h2, r.minX, r.maxX, r.minY, r.maxY, r.epsg, bands)
+  }
 
   /** [[writeFull]] to a byte array (the distributed-sink unit: executors
     * encode their own tiles and hand bytes to the committing writer). */
   def encode(r: Raster, bits: Int = 64, deflate: Boolean = false,
-             tile: Option[(Int, Int)] = None, planar: Int = 1): Array[Byte] = {
+             tile: Option[(Int, Int)] = None, planar: Int = 1,
+             overviews: Seq[Int] = Nil): Array[Byte] = {
     require(bits == 32 || bits == 64, s"unsupported float width $bits")
     require(planar == 1 || planar == 2, s"bad PlanarConfiguration $planar")
     tile.foreach { case (tw, th) =>
       require(tw % 16 == 0 && th % 16 == 0, s"tile dims must be multiples of 16: ${tw}x$th")
     }
-    val w = r.width; val h = r.height
-    val spp = r.bands.length
     val bps = bits / 8
+    val spp = r.bands.length
 
     @inline def putVal(bb: ByteBuffer, v: Double): Unit =
       if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
 
-    // ---- image data chunks (file order) ----
-    val rawChunks: Seq[Array[Byte]] = tile match {
-      case None =>
-        // one strip per plane; chunky = a single strip with per-pixel
-        // interleave, planar = spp strips each holding one full band
-        val planes = if (planar == 2) spp else 1
-        (0 until planes).map { p =>
-          val sppC = if (planar == 2) 1 else spp
-          val bb = ByteBuffer.allocate(w * h * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
-          var row = 0
-          while (row < h) {
-            val y = h - 1 - row // top-down rows from the south-up grid
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < sppC) {
-                putVal(bb, r.bands(if (planar == 2) p else b)(x * h + y)); b += 1
+    // ---- image data chunks for one subfile, in file order ----
+    def chunksOf(s: Raster): Seq[Array[Byte]] = {
+      val w = s.width; val h = s.height
+      val raw: Seq[Array[Byte]] = tile match {
+        case None =>
+          // one strip per plane; chunky = a single strip with per-pixel
+          // interleave, planar = spp strips each holding one full band
+          val planes = if (planar == 2) spp else 1
+          (0 until planes).map { p =>
+            val sppC = if (planar == 2) 1 else spp
+            val bb = ByteBuffer.allocate(w * h * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
+            var row = 0
+            while (row < h) {
+              val y = h - 1 - row // top-down rows from the south-up grid
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < sppC) {
+                  putVal(bb, s.bands(if (planar == 2) p else b)(x * h + y)); b += 1
+                }
+                x += 1
               }
-              x += 1
+              row += 1
             }
-            row += 1
+            bb.array()
           }
-          bb.array()
-        }
-      case Some((tw, th)) =>
-        // tiles left-to-right, top-to-bottom, planes consecutive (planar);
-        // edge tiles are padded to the full tile size per the TIFF spec
-        val ta = (w + tw - 1) / tw; val td = (h + th - 1) / th
-        val planes = if (planar == 2) spp else 1
-        for {
-          p <- 0 until planes
-          tyi <- 0 until td
-          txi <- 0 until ta
-        } yield {
-          val sppC = if (planar == 2) 1 else spp
-          val bb = ByteBuffer.allocate(tw * th * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
-          var rr = 0
-          while (rr < th) {
-            val row = tyi * th + rr
-            var xi = 0
-            while (xi < tw) {
-              val x = txi * tw + xi
-              var b = 0
-              while (b < sppC) {
-                val v = if (row < h && x < w)
-                  r.bands(if (planar == 2) p else b)(x * h + (h - 1 - row))
-                else 0.0
-                putVal(bb, v); b += 1
+        case Some((tw, th)) =>
+          // tiles left-to-right, top-to-bottom, planes consecutive (planar);
+          // edge tiles are padded to the full tile size per the TIFF spec
+          val ta = (w + tw - 1) / tw; val td = (h + th - 1) / th
+          val planes = if (planar == 2) spp else 1
+          for {
+            p <- 0 until planes
+            tyi <- 0 until td
+            txi <- 0 until ta
+          } yield {
+            val sppC = if (planar == 2) 1 else spp
+            val bb = ByteBuffer.allocate(tw * th * sppC * bps).order(ByteOrder.LITTLE_ENDIAN)
+            var rr = 0
+            while (rr < th) {
+              val row = tyi * th + rr
+              var xi = 0
+              while (xi < tw) {
+                val x = txi * tw + xi
+                var b = 0
+                while (b < sppC) {
+                  val v = if (row < h && x < w)
+                    s.bands(if (planar == 2) p else b)(x * h + (h - 1 - row))
+                  else 0.0
+                  putVal(bb, v); b += 1
+                }
+                xi += 1
               }
-              xi += 1
+              rr += 1
             }
-            rr += 1
+            bb.array()
           }
-          bb.array()
-        }
-    }
-    val chunks = rawChunks.map(c => if (deflate) deflateBytes(c) else c)
-
-    // ---- layout: header(8) | chunks | tag payload blocks | IFD ----
-    var cursor = 8L
-    val chunkOffsets = chunks.map { c =>
-      if (cursor % 2 == 1) cursor += 1 // values begin on a word boundary
-      val off = cursor; cursor += c.length; off
+      }
+      raw.map(c => if (deflate) deflateBytes(c) else c)
     }
 
     def shorts(vs: Seq[Long]): Array[Byte] = {
@@ -177,78 +200,109 @@ object GeoTiff {
       vs.foreach(b.putDouble); b.array()
     }
 
-    val cw = (r.maxX - r.minX) / w; val ch = (r.maxY - r.minY) / h
-    val geographic = r.epsg == 4326 || (r.epsg >= 4000 && r.epsg < 5000)
-    val geoKeys: Seq[Long] = Seq[Long](
-      1, 1, 0, 2, // key directory header: version 1.1, 2 keys
-      1024, 0, 1, if (geographic) 2L else 1L, // GTModelType
-      if (geographic) 2048L else 3072L, 0, 1, r.epsg.toLong) // CRS code key
-    // "nan" NUL-terminated; padded so older readers that only handle
-    // offset-stored ASCII still see it (both storages are legal TIFF)
-    val nodataAscii: Array[Byte] = Array('n', 'a', 'n', ' ', 0).map(_.toByte)
+    // subfiles: the full raster, then one reduced IFD per overview factor
+    val subs: Seq[(Raster, Boolean)] =
+      (r, false) +: overviews.map(f => (decimate(r, f), true))
+    val subChunks = subs.map { case (s, _) => chunksOf(s) }
 
-    // (tag, type, count, payload) — ascending tag order per TIFF 6.0
-    val tagData: Seq[(Int, Int, Int, Array[Byte])] = (Seq(
-      (TImageWidth, FtLong, 1, longsB(Seq(w.toLong))),
-      (TImageLength, FtLong, 1, longsB(Seq(h.toLong))),
-      (TBitsPerSample, FtShort, spp, shorts(Seq.fill(spp)(bits.toLong))),
-      (TCompression, FtShort, 1, shorts(Seq(if (deflate) 8L else 1L))),
-      (TPhotometric, FtShort, 1, shorts(Seq(1L))),
-      (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
-      (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong)))) ++
-      (tile match {
-        case None => Seq(
-          (TStripOffsets, FtLong, chunks.length, longsB(chunkOffsets)),
-          (TRowsPerStrip, FtLong, 1, longsB(Seq(h.toLong))),
-          (TStripByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
-        case Some((tw, th)) => Seq(
-          (TTileWidth, FtLong, 1, longsB(Seq(tw.toLong))),
-          (TTileLength, FtLong, 1, longsB(Seq(th.toLong))),
-          (TTileOffsets, FtLong, chunks.length, longsB(chunkOffsets)),
-          (TTileByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
-      }) ++ Seq(
-      (TSampleFormat, FtShort, spp, shorts(Seq.fill(spp)(3L))), // IEEE float
-      (TModelPixelScale, FtDouble, 3, doublesB(Seq(cw, ch, 0.0))),
-      (TModelTiepoint, FtDouble, 6, doublesB(Seq(0.0, 0.0, 0.0, r.minX, r.maxY, 0.0))),
-      (TGeoKeyDirectory, FtShort, geoKeys.length, shorts(geoKeys)),
-      (TGdalNodata, FtAscii, nodataAscii.length, nodataAscii)))
-      .sortBy(_._1)
+    // ---- layout pass 1: chunk offsets across all subfiles ----
+    var cursor = 8L
+    val subChunkOffsets = subChunks.map(_.map { c =>
+      if (cursor % 2 == 1) cursor += 1 // values begin on a word boundary
+      val off = cursor; cursor += c.length; off
+    })
 
-    // payloads longer than 4 bytes go to blocks; others inline
-    val blockOffsets: Map[Int, Long] = tagData.collect {
+    // tag rows per subfile ((tag, type, count, payload), ascending per TIFF)
+    val subTagData: Seq[Seq[(Int, Int, Int, Array[Byte])]] =
+      subs.zip(subChunks).zip(subChunkOffsets).map { case (((s, reduced), chunks), offs) =>
+        val w = s.width; val h = s.height
+        val base = Seq(
+          (TImageWidth, FtLong, 1, longsB(Seq(w.toLong))),
+          (TImageLength, FtLong, 1, longsB(Seq(h.toLong))),
+          (TBitsPerSample, FtShort, spp, shorts(Seq.fill(spp)(bits.toLong))),
+          (TCompression, FtShort, 1, shorts(Seq(if (deflate) 8L else 1L))),
+          (TPhotometric, FtShort, 1, shorts(Seq(1L))),
+          (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
+          (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong))),
+          (TSampleFormat, FtShort, spp, shorts(Seq.fill(spp)(3L)))) ++ // IEEE float
+          (tile match {
+            case None => Seq(
+              (TStripOffsets, FtLong, chunks.length, longsB(offs)),
+              (TRowsPerStrip, FtLong, 1, longsB(Seq(h.toLong))),
+              (TStripByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+            case Some((tw, th)) => Seq(
+              (TTileWidth, FtLong, 1, longsB(Seq(tw.toLong))),
+              (TTileLength, FtLong, 1, longsB(Seq(th.toLong))),
+              (TTileOffsets, FtLong, chunks.length, longsB(offs)),
+              (TTileByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+          })
+        val extra = if (reduced) {
+          // overview subfile: flagged reduced-resolution, NO geo tags — the
+          // envelope is inherited from IFD0 (the GDAL overview convention)
+          Seq((TNewSubfileType, FtLong, 1, longsB(Seq(1L))))
+        } else {
+          val cw = (r.maxX - r.minX) / w; val ch = (r.maxY - r.minY) / h
+          val geographic = r.epsg == 4326 || (r.epsg >= 4000 && r.epsg < 5000)
+          val geoKeys: Seq[Long] = Seq[Long](
+            1, 1, 0, 2, // key directory header: version 1.1, 2 keys
+            1024, 0, 1, if (geographic) 2L else 1L, // GTModelType
+            if (geographic) 2048L else 3072L, 0, 1, r.epsg.toLong) // CRS code key
+          // "nan" NUL-terminated; padded so older readers that only handle
+          // offset-stored ASCII still see it (both storages are legal TIFF)
+          val nodataAscii: Array[Byte] = Array('n', 'a', 'n', ' ', 0).map(_.toByte)
+          Seq(
+            (TModelPixelScale, FtDouble, 3, doublesB(Seq(cw, ch, 0.0))),
+            (TModelTiepoint, FtDouble, 6, doublesB(Seq(0.0, 0.0, 0.0, r.minX, r.maxY, 0.0))),
+            (TGeoKeyDirectory, FtShort, geoKeys.length, shorts(geoKeys)),
+            (TGdalNodata, FtAscii, nodataAscii.length, nodataAscii))
+        }
+        (base ++ extra).sortBy(_._1)
+      }
+
+    // ---- layout pass 2: payload blocks, then the IFDs back to back ----
+    val subBlockOffsets: Seq[Map[Int, Long]] = subTagData.map(_.collect {
       case (tag, _, _, payload) if payload.length > 4 =>
         if (cursor % 2 == 1) cursor += 1
         val off = cursor; cursor += payload.length
         tag -> off
-    }.toMap
-    if (cursor % 2 == 1) cursor += 1
-    val ifdOff = cursor
-    val total = ifdOff + 2 + tagData.length * 12 + 4
+    }.toMap)
+    val ifdOffsets = subTagData.map { td =>
+      if (cursor % 2 == 1) cursor += 1
+      val off = cursor; cursor += 2 + td.length * 12 + 4; off
+    }
+    val total = cursor
 
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff.toInt)
-    chunks.zip(chunkOffsets).foreach { case (c, off) =>
-      while (buf.position() < off) buf.put(0.toByte)
-      buf.put(c)
-    }
-    tagData.foreach { case (tag, _, _, payload) =>
-      blockOffsets.get(tag).foreach { off =>
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets.head.toInt)
+    subChunks.zip(subChunkOffsets).foreach { case (chunks, offs) =>
+      chunks.zip(offs).foreach { case (c, off) =>
         while (buf.position() < off) buf.put(0.toByte)
-        buf.put(payload)
+        buf.put(c)
       }
     }
-    while (buf.position() < ifdOff) buf.put(0.toByte)
-    buf.putShort(tagData.length.toShort)
-    tagData.foreach { case (tag, tpe, count, payload) =>
-      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
-      blockOffsets.get(tag) match {
-        case Some(off) => buf.putInt(off.toInt)
-        case None => // inline values are left-justified in the 4-byte slot
-          val slot = java.util.Arrays.copyOf(payload, 4)
-          buf.put(slot)
+    subTagData.zip(subBlockOffsets).foreach { case (td, blocks) =>
+      td.foreach { case (tag, _, _, payload) =>
+        blocks.get(tag).foreach { off =>
+          while (buf.position() < off) buf.put(0.toByte)
+          buf.put(payload)
+        }
       }
     }
-    buf.putInt(0) // no next IFD
+    subTagData.indices.foreach { i =>
+      while (buf.position() < ifdOffsets(i)) buf.put(0.toByte)
+      val td = subTagData(i)
+      buf.putShort(td.length.toShort)
+      td.foreach { case (tag, tpe, count, payload) =>
+        buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+        subBlockOffsets(i).get(tag) match {
+          case Some(off) => buf.putInt(off.toInt)
+          case None => // inline values are left-justified in the 4-byte slot
+            buf.put(java.util.Arrays.copyOf(payload, 4))
+        }
+      }
+      // chain: each IFD points at the next subfile, the last at 0
+      buf.putInt(if (i + 1 < ifdOffsets.length) ifdOffsets(i + 1).toInt else 0)
+    }
     buf.array()
   }
 
@@ -284,50 +338,9 @@ object GeoTiff {
   private final case class Entry(tag: Int, tpe: Int, count: Int, valueOrOffset: Long,
                                  inline: Array[Byte])
 
-  /** Read a GeoTIFF into a [[Raster]] (all bands). `item_id` defaults to
-    * the file name stem, ts to 0 (the caller owns temporal metadata). */
-  def read(file: File, itemId: String = null, ts: Long = 0L): Raster = {
-    val id = if (itemId != null) itemId else file.getName.replaceAll("\\.tiff?$", "")
-    parse(Files.readAllBytes(Paths.get(file.getPath)), id, ts)
-  }
-
-  /** Parse GeoTIFF bytes, all bands (the distributed-scan entry: pair with
-    * Spark's binaryFile source — each executor decodes its own files). */
-  def parse(bytes: Array[Byte], itemId: String, ts: Long = 0L): Raster =
-    parseBands(bytes, itemId, ts, None)
-
-  /**
-   * Parse GeoTIFF bytes decoding only `select`ed bands (in the given order —
-   * the reference's BAND_PARAM / selectSampleDimension path,
-   * RasterEncoder.java:107-113, StacResource.java:433-437). None = all bands.
-   * With planar interleave the unselected planes' strips/tiles are skipped
-   * without decompression.
-   */
-  def parseBands(bytes: Array[Byte], itemId: String, ts: Long,
-                 select: Option[Seq[Int]]): Raster = {
-    require(bytes.length > 8, s"$itemId: not a TIFF")
-    val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
-    val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
-    require(le || be, s"$itemId: bad TIFF byte-order marker")
-    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-    val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, s"$itemId: bad TIFF magic")
-    val ifdOff = buf.getInt(4).toLong & 0xffffffffL
-
-    val nEntries = buf.getShort(ifdOff.toInt) & 0xffff
-    val entries = (0 until nEntries).map { i =>
-      val off = ifdOff.toInt + 2 + i * 12
-      val tag = buf.getShort(off) & 0xffff
-      val tpe = buf.getShort(off + 2) & 0xffff
-      val count = buf.getInt(off + 4)
-      val inline = java.util.Arrays.copyOfRange(bytes, off + 8, off + 12)
-      val v = typeSize(tpe) * count match {
-        case sz if sz <= 4 => firstValue(inline, tpe, order)
-        case _             => buf.getInt(off + 8).toLong & 0xffffffffL
-      }
-      Entry(tag, tpe, count, v, inline)
-    }.map(e => e.tag -> e).toMap
-
+  /** Tag accessors over one IFD's entries. */
+  private final class Tags(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
+                           val entries: Map[Int, Entry]) {
     def scalar(tag: Int, default: Long = -1): Long =
       entries.get(tag).map(_.valueOrOffset).getOrElse(default)
     def longs(tag: Int): Array[Long] = entries.get(tag) match {
@@ -368,21 +381,136 @@ object GeoTiff {
                                                   e.valueOrOffset.toInt + e.count)
       new String(raw, "US-ASCII").takeWhile(_ != '\u0000').trim
     }
+  }
 
-    val w = scalar(TImageWidth).toInt; val h = scalar(TImageLength).toInt
+  /** Read one IFD's entry table; returns the accessors + next-IFD offset
+    * (0 = end of chain). */
+  private def readIfd(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
+                      ifdOff: Long): (Tags, Long) = {
+    val nEntries = buf.getShort(ifdOff.toInt) & 0xffff
+    val entries = (0 until nEntries).map { i =>
+      val off = ifdOff.toInt + 2 + i * 12
+      val tag = buf.getShort(off) & 0xffff
+      val tpe = buf.getShort(off + 2) & 0xffff
+      val count = buf.getInt(off + 4)
+      val inline = java.util.Arrays.copyOfRange(bytes, off + 8, off + 12)
+      val v = typeSize(tpe) * count match {
+        case sz if sz <= 4 => firstValue(inline, tpe, order)
+        case _             => buf.getInt(off + 8).toLong & 0xffffffffL
+      }
+      Entry(tag, tpe, count, v, inline)
+    }.map(e => e.tag -> e).toMap
+    val next = buf.getInt(ifdOff.toInt + 2 + nEntries * 12).toLong & 0xffffffffL
+    (new Tags(bytes, buf, order, entries), next)
+  }
+
+  private def openTiff(bytes: Array[Byte], itemId: String): (ByteBuffer, ByteOrder, Long) = {
+    require(bytes.length > 8, s"$itemId: not a TIFF")
+    val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
+    val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
+    require(le || be, s"$itemId: bad TIFF byte-order marker")
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require(buf.getShort(2) == 42, s"$itemId: bad TIFF magic")
+    (buf, order, buf.getInt(4).toLong & 0xffffffffL)
+  }
+
+  /** One subfile of the IFD chain: dimensions + the reduced-resolution flag
+    * (NewSubfileType bit 0). */
+  final case class IfdInfo(offset: Long, width: Int, height: Int, reduced: Boolean)
+
+  /** Walk the IFD chain (IFD0 first). A COG carries 1 + #overviews entries. */
+  def ifdChain(bytes: Array[Byte], itemId: String = "tiff"): Seq[IfdInfo] = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val out = Seq.newBuilder[IfdInfo]
+    var off = first
+    var guard = 0
+    while (off != 0 && guard < 64) {
+      val (tags, next) = readIfd(bytes, buf, order, off)
+      out += IfdInfo(off, tags.scalar(TImageWidth).toInt, tags.scalar(TImageLength).toInt,
+                     (tags.scalar(TNewSubfileType, 0) & 1L) == 1L)
+      off = next; guard += 1
+    }
+    out.result()
+  }
+
+  /** Read a GeoTIFF into a [[Raster]] (all bands, full resolution).
+    * `item_id` defaults to the file name stem, ts to 0 (the caller owns
+    * temporal metadata). */
+  def read(file: File, itemId: String = null, ts: Long = 0L): Raster = {
+    val id = if (itemId != null) itemId else file.getName.replaceAll("\\.tiff?$", "")
+    parse(Files.readAllBytes(Paths.get(file.getPath)), id, ts)
+  }
+
+  /** Parse GeoTIFF bytes, all bands, full resolution (the distributed-scan
+    * entry: pair with Spark's binaryFile source — each executor decodes its
+    * own files). */
+  def parse(bytes: Array[Byte], itemId: String, ts: Long = 0L): Raster =
+    parseBands(bytes, itemId, ts, None)
+
+  /**
+   * Parse GeoTIFF bytes decoding only `select`ed bands (in the given order —
+   * the reference's BAND_PARAM / selectSampleDimension path,
+   * RasterEncoder.java:107-113, StacResource.java:433-437). None = all bands.
+   * With planar interleave the unselected planes' strips/tiles are skipped
+   * without decompression.
+   */
+  def parseBands(bytes: Array[Byte], itemId: String, ts: Long,
+                 select: Option[Seq[Int]]): Raster = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first)
+    decodeSubfile(bytes, buf, order, tags, tags, itemId, ts, select)
+  }
+
+  /**
+   * Overview-aware parse (the COG read path): decode the COARSEST subfile
+   * whose cell width still resolves `targetCellWidth` (cell <= target) —
+   * reading a 4x overview for a 4x-coarser mosaic touches 1/16th of the
+   * bytes. Falls back to full resolution when every overview is coarser
+   * than requested. Georeferencing/nodata always come from IFD0 (overview
+   * subfiles inherit the envelope).
+   */
+  def parseOverview(bytes: Array[Byte], itemId: String, ts: Long,
+                    targetCellWidth: Double,
+                    select: Option[Seq[Int]] = None): Raster = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val (tags0, next0) = readIfd(bytes, buf, order, first)
+    val w0 = tags0.scalar(TImageWidth).toInt
+    val scale0 = tags0.doubles(TModelPixelScale)
+    require(scale0.length >= 2, s"$itemId: missing GeoTIFF georeferencing tags")
+    val spanX = w0 * scale0(0)
+    // chain candidates: (tags, cellWidth)
+    var best = (tags0, spanX / w0)
+    var off = next0
+    var guard = 0
+    while (off != 0 && guard < 64) {
+      val (t, next) = readIfd(bytes, buf, order, off)
+      val cw = spanX / t.scalar(TImageWidth).toInt
+      if (cw <= targetCellWidth && cw > best._2) best = (t, cw)
+      off = next; guard += 1
+    }
+    decodeSubfile(bytes, buf, order, best._1, tags0, itemId, ts, select)
+  }
+
+  /** Decode one subfile's pixel grid; georeferencing, EPSG and nodata are
+    * read from `geoTags` (IFD0 — overview subfiles carry none). */
+  private def decodeSubfile(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
+                            tags: Tags, geoTags: Tags, itemId: String, ts: Long,
+                            select: Option[Seq[Int]]): Raster = {
+    val w = tags.scalar(TImageWidth).toInt; val h = tags.scalar(TImageLength).toInt
     require(w > 0 && h > 0, s"$itemId: missing image dimensions")
-    val spp = math.max(1, scalar(TSamplesPerPixel, 1).toInt)
-    val planarCfg = scalar(TPlanarConfig, 1).toInt
+    val spp = math.max(1, tags.scalar(TSamplesPerPixel, 1).toInt)
+    val planarCfg = tags.scalar(TPlanarConfig, 1).toInt
     require(planarCfg == 1 || planarCfg == 2, s"$itemId: bad PlanarConfiguration $planarCfg")
-    val bitsAll = longs(TBitsPerSample)
+    val bitsAll = tags.longs(TBitsPerSample)
     require(bitsAll.isEmpty || bitsAll.forall(_ == bitsAll.head),
             s"$itemId: heterogeneous BitsPerSample unsupported")
     val bits = bitsAll.headOption.getOrElse(1L).toInt
-    val sfAll = longs(TSampleFormat)
+    val sfAll = tags.longs(TSampleFormat)
     require(sfAll.isEmpty || sfAll.forall(_ == sfAll.head),
             s"$itemId: heterogeneous SampleFormat unsupported")
     val sampleFormat = sfAll.headOption.getOrElse(1L).toInt // 1 uint, 2 int, 3 float
-    val compression = scalar(TCompression, 1).toInt
+    val compression = tags.scalar(TCompression, 1).toInt
     require(compression == 1 || compression == 8,
             s"unsupported TIFF compression $compression (only none/deflate)")
     val bps = (bits + 7) / 8
@@ -394,7 +522,7 @@ object GeoTiff {
     sel.zipWithIndex.foreach { case (b, i) => destOf(b) = i }
     val bands = Array.fill(sel.length)(new Array[Double](w * h))
 
-    val nodata: Option[Double] = ascii(TGdalNodata).flatMap { s =>
+    val nodata: Option[Double] = geoTags.ascii(TGdalNodata).flatMap { s =>
       val t = s.trim
       if (t.isEmpty) None
       else if (t.equalsIgnoreCase("nan")) Some(Double.NaN)
@@ -451,13 +579,13 @@ object GeoTiff {
 
     val planes = if (planarCfg == 2) spp else 1
     val sppC = if (planarCfg == 2) 1 else spp
-    if (entries.contains(TTileOffsets)) {
+    if (tags.entries.contains(TTileOffsets)) {
       // tiled layout (tags 322-325): tiles left-to-right top-to-bottom,
       // planes consecutive; edge tiles padded to the full tile size
-      val tw = scalar(TTileWidth).toInt; val tl = scalar(TTileLength).toInt
+      val tw = tags.scalar(TTileWidth).toInt; val tl = tags.scalar(TTileLength).toInt
       require(tw > 0 && tl > 0, s"$itemId: bad tile dimensions ${tw}x$tl")
       val ta = (w + tw - 1) / tw; val td = (h + tl - 1) / tl
-      val offsets = longs(TTileOffsets); val counts = longs(TTileByteCounts)
+      val offsets = tags.longs(TTileOffsets); val counts = tags.longs(TTileByteCounts)
       require(offsets.length == ta * td * planes,
               s"$itemId: ${offsets.length} tiles, expected ${ta * td * planes}")
       val expected = tw * tl * sppC * bps
@@ -476,9 +604,9 @@ object GeoTiff {
         p += 1
       }
     } else {
-      val offsets = longs(TStripOffsets)
-      val counts = longs(TStripByteCounts)
-      val rowsPerStrip = scalar(TRowsPerStrip, h).toInt
+      val offsets = tags.longs(TStripOffsets)
+      val counts = tags.longs(TStripByteCounts)
+      val rowsPerStrip = tags.scalar(TRowsPerStrip, h).toInt
       val spi = (h + rowsPerStrip - 1) / rowsPerStrip // strips per plane
       require(offsets.length == spi * planes,
               s"$itemId: ${offsets.length} strips, expected ${spi * planes}")
@@ -499,21 +627,24 @@ object GeoTiff {
       }
     }
 
-    // georeferencing: tiepoint (i,j,k, X,Y,Z) + pixel scale
-    val scale = doubles(TModelPixelScale)
-    val tie = doubles(TModelTiepoint)
+    // georeferencing from IFD0: tiepoint (i,j,k, X,Y,Z) + pixel scale in
+    // IFD0's grid; the envelope (not the cell size) transfers to overviews
+    val scale = geoTags.doubles(TModelPixelScale)
+    val tie = geoTags.doubles(TModelTiepoint)
     require(scale.length >= 2 && tie.length >= 5,
             s"$itemId: missing GeoTIFF georeferencing tags")
+    val w0 = geoTags.scalar(TImageWidth).toInt
+    val h0 = geoTags.scalar(TImageLength).toInt
     val minX = tie(3) - tie(0) * scale(0)
     val maxY = tie(4) + tie(1) * scale(1)
-    val maxX = minX + w * scale(0)
-    val minY = maxY - h * scale(1)
+    val maxX = minX + w0 * scale(0)
+    val minY = maxY - h0 * scale(1)
 
     // EPSG from the GeoKeyDirectory (2048 geographic / 3072 projected)
     // projected CRS key (3072) takes precedence: projected files carry BOTH
     // a geographic datum key (2048) and the projected code, and keys are
     // sorted ascending — matching 2048 first would misread UTM as 4326
-    val keys = longs(TGeoKeyDirectory)
+    val keys = geoTags.longs(TGeoKeyDirectory)
     val keyMap = keys.grouped(4).collect { case Array(k, _, _, v) => k -> v.toInt }.toMap
     val epsg = keyMap.get(3072L).orElse(keyMap.get(2048L)).getOrElse(4326)
 

@@ -271,6 +271,65 @@ class GeoTiffSpec extends AnyFunSuite {
     reader.dispose()
   }
 
+  test("overview IFDs: chain structure, decimation values, selection policy") {
+    val w = 32; val h = 16
+    val full = Raster("ov", 5L, w, h, 0.0, 32.0, 0.0, 16.0, 32618,
+      Seq(Array.tabulate(w * h)(i => ((i / h) * 31 + (i % h) * 17) % 97 + 0.5)))
+    for (tile <- Seq(None, Some((16, 16))); deflate <- Seq(false, true)) {
+      val f = tmp(".tif")
+      GeoTiff.writeFull(full, f, bits = 64, deflate = deflate, tile = tile,
+                        overviews = Seq(2, 4))
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val label = s"tile=$tile deflate=$deflate"
+      // chain: full + two reduced subfiles with halved dims
+      val chain = GeoTiff.ifdChain(bytes)
+      assert(chain.map(c => (c.width, c.height, c.reduced)) ==
+        Seq((32, 16, false), (16, 8, true), (8, 4, true)), label)
+      // IFD0 path unchanged
+      sameValues(full.bands.head, GeoTiff.parse(bytes, "ov").bands.head)
+      // target cell 2.0 -> factor-2 overview; values = full(2x, 2y);
+      // envelope and epsg inherited from IFD0
+      val ov2 = GeoTiff.parseOverview(bytes, "ov", 5L, targetCellWidth = 2.0)
+      assert((ov2.width, ov2.height) == (16, 8), label)
+      assert((ov2.minX, ov2.maxX, ov2.minY, ov2.maxY) == (0.0, 32.0, 0.0, 16.0))
+      assert(ov2.epsg == 32618 && ov2.ts == 5L)
+      for (x <- 0 until 16; y <- 0 until 8)
+        assert(ov2.bands.head(x * 8 + y) == full.bands.head(2 * x * h + 2 * y),
+               s"$label ($x,$y)")
+      // target cell 4.0 -> factor-4; 3.9 -> factor-2 (coarsest that still
+      // resolves); 0.5 -> full resolution (no overview fine enough)
+      assert(GeoTiff.parseOverview(bytes, "ov", 5L, 4.0).width == 8, label)
+      assert(GeoTiff.parseOverview(bytes, "ov", 5L, 3.9).width == 16, label)
+      assert(GeoTiff.parseOverview(bytes, "ov", 5L, 0.5).width == 32, label)
+    }
+  }
+
+  test("overviews on multi-band files respect band selection") {
+    val r = mkMulti(32, 16)
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, bits = 64, deflate = true, planar = 2, overviews = Seq(2))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val ov = GeoTiff.parseOverview(bytes, "m1", 7L, 2.0, Some(Seq(2)))
+    assert(ov.bands.length == 1 && (ov.width, ov.height) == (16, 8))
+    for (x <- 0 until 16; y <- 0 until 8) {
+      val want = r.bands(2)(2 * x * 16 + 2 * y)
+      val got = ov.bands.head(x * 8 + y)
+      assert((want.isNaN && got.isNaN) || want == got, s"($x,$y)")
+    }
+  }
+
+  test("JDK ImageIO sees the overview chain as additional images") {
+    val r = mkRaster(4326)
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, bits = 32, overviews = Seq(2))
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("TIFF")
+    val reader = readers.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(f))
+    assert(reader.getNumImages(true) == 2)
+    assert(reader.read(1).getWidth == (r.width + 1) / 2)
+    reader.dispose()
+  }
+
   test("exportObservation: zip target bundles tiff + vat sidecar deterministically") {
     import graft.raster.DataKey
     val r = mkRaster(4326)
