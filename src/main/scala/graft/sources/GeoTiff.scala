@@ -459,7 +459,64 @@ object GeoTiff {
                  select: Option[Seq[Int]]): Raster = {
     val (buf, order, first) = openTiff(bytes, itemId)
     val (tags, _) = readIfd(bytes, buf, order, first)
-    decodeSubfile(bytes, buf, order, tags, tags, itemId, ts, select)
+    decodeSubfile(bytes, buf, order, tags, tags, itemId, ts, select, None)
+  }
+
+  /**
+   * Windowed decode (the COG partial-read shape): decode ONLY the
+   * strips/tiles intersecting the world-coordinate window — on a tiled
+   * file the bytes inflated are proportional to the window, not the image
+   * (a mosaic tile touching one corner of a 10^5-pixel COG must not
+   * decompress the whole grid). `targetCellWidth > 0` composes with
+   * overview selection: the window is cut from the chosen subfile.
+   * Returns the window's raster with its own (cell-aligned, clamped)
+   * envelope; throws when the window misses the image entirely.
+   */
+  def parseWindow(bytes: Array[Byte], itemId: String, ts: Long,
+                  wMinX: Double, wMaxX: Double, wMinY: Double, wMaxY: Double,
+                  select: Option[Seq[Int]] = None,
+                  targetCellWidth: Double = 0.0): Raster = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val (tags0, next0) = readIfd(bytes, buf, order, first)
+    // choose the subfile (overview selection as in parseOverview)
+    var chosen = tags0
+    if (targetCellWidth > 0) {
+      val w0 = tags0.scalar(TImageWidth).toInt
+      val scale0 = tags0.doubles(TModelPixelScale)
+      require(scale0.length >= 2, s"$itemId: missing GeoTIFF georeferencing tags")
+      val spanX = w0 * scale0(0)
+      var bestCw = spanX / w0
+      var off = next0
+      var guard = 0
+      while (off != 0 && guard < 64) {
+        val (t, next) = readIfd(bytes, buf, order, off)
+        val cw = spanX / t.scalar(TImageWidth).toInt
+        if (cw <= targetCellWidth && cw > bestCw) { chosen = t; bestCw = cw }
+        off = next; guard += 1
+      }
+    }
+    // world window -> pixel window in the chosen subfile's grid
+    val scale = tags0.doubles(TModelPixelScale)
+    val tie = tags0.doubles(TModelTiepoint)
+    require(scale.length >= 2 && tie.length >= 5,
+            s"$itemId: missing GeoTIFF georeferencing tags")
+    val w0 = tags0.scalar(TImageWidth).toInt; val h0 = tags0.scalar(TImageLength).toInt
+    val minX = tie(3) - tie(0) * scale(0)
+    val maxY = tie(4) + tie(1) * scale(1)
+    val maxX = minX + w0 * scale(0)
+    val minY = maxY - h0 * scale(1)
+    val w = chosen.scalar(TImageWidth).toInt; val h = chosen.scalar(TImageLength).toInt
+    val cw = (maxX - minX) / w; val chh = (maxY - minY) / h
+    @inline def clampI(v: Int, hi: Int) = math.max(0, math.min(v, hi))
+    val px0 = clampI(math.floor((wMinX - minX) / cw).toInt, w - 1)
+    val px1 = clampI(math.ceil((wMaxX - minX) / cw).toInt, w)
+    val row0 = clampI(math.floor((maxY - wMaxY) / chh).toInt, h - 1)
+    val row1 = clampI(math.ceil((maxY - wMinY) / chh).toInt, h)
+    require(wMaxX > minX && wMinX < maxX && wMaxY > minY && wMinY < maxY &&
+            px1 > px0 && row1 > row0,
+            s"$itemId: window misses the image")
+    decodeSubfile(bytes, buf, order, chosen, tags0, itemId, ts, select,
+                  Some((px0, row0, px1 - px0, row1 - row0)))
   }
 
   /**
@@ -489,16 +546,20 @@ object GeoTiff {
       if (cw <= targetCellWidth && cw > best._2) best = (t, cw)
       off = next; guard += 1
     }
-    decodeSubfile(bytes, buf, order, best._1, tags0, itemId, ts, select)
+    decodeSubfile(bytes, buf, order, best._1, tags0, itemId, ts, select, None)
   }
 
   /** Decode one subfile's pixel grid; georeferencing, EPSG and nodata are
-    * read from `geoTags` (IFD0 — overview subfiles carry none). */
+    * read from `geoTags` (IFD0 — overview subfiles carry none). `window`
+    * (col0, topRow0, width, height in this subfile's pixel grid) restricts
+    * the decode: chunks outside it are never read or inflated. */
   private def decodeSubfile(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
                             tags: Tags, geoTags: Tags, itemId: String, ts: Long,
-                            select: Option[Seq[Int]]): Raster = {
+                            select: Option[Seq[Int]],
+                            window: Option[(Int, Int, Int, Int)]): Raster = {
     val w = tags.scalar(TImageWidth).toInt; val h = tags.scalar(TImageLength).toInt
     require(w > 0 && h > 0, s"$itemId: missing image dimensions")
+    val (vx0, vrow0, vw, vh) = window.getOrElse((0, 0, w, h))
     val spp = math.max(1, tags.scalar(TSamplesPerPixel, 1).toInt)
     val planarCfg = tags.scalar(TPlanarConfig, 1).toInt
     require(planarCfg == 1 || planarCfg == 2, s"$itemId: bad PlanarConfiguration $planarCfg")
@@ -520,7 +581,7 @@ object GeoTiff {
     sel.foreach(b => require(b >= 0 && b < spp, s"$itemId: band $b of $spp"))
     val destOf = Array.fill(spp)(-1)
     sel.zipWithIndex.foreach { case (b, i) => destOf(b) = i }
-    val bands = Array.fill(sel.length)(new Array[Double](w * h))
+    val bands = Array.fill(sel.length)(new Array[Double](vw * vh))
 
     val nodata: Option[Double] = geoTags.ascii(TGdalNodata).flatMap { s =>
       val t = s.trim
@@ -549,24 +610,28 @@ object GeoTiff {
     // 0..sppC-1 (chunky)
     def decodeChunk(off: Long, cnt: Long, expected: Int, x0: Int, row0: Int,
                     cw_ : Int, ch_ : Int, rw: Int, sppC: Int, plane: Int): Unit = {
+      // window skip: a chunk wholly outside the decode window is never
+      // copied or inflated (the COG partial-read property)
+      if (x0 >= vx0 + vw || x0 + cw_ <= vx0 || row0 >= vrow0 + vh || row0 + ch_ <= vrow0)
+        return
       val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
       val data = if (compression == 8) inflateBytes(raw, expected) else raw
       val bb = ByteBuffer.wrap(data).order(order)
       var rr = 0
       while (rr < ch_) {
         val row = row0 + rr
-        if (row < h) {
-          val y = h - 1 - row
+        if (row >= vrow0 && row < vrow0 + vh && row < h) {
+          val y = vh - 1 - (row - vrow0)
           var xi = 0
           while (xi < cw_) {
             val x = x0 + xi
-            if (x < w) {
+            if (x >= vx0 && x < vx0 + vw && x < w) {
               val base = (rr * rw + xi) * sppC * bps
               var b = 0
               while (b < sppC) {
                 val dst = destOf(if (plane >= 0) plane else b)
                 if (dst >= 0)
-                  bands(dst)(x * h + y) = toNaN(sampleAt(bb, base + b * bps))
+                  bands(dst)((x - vx0) * vh + y) = toNaN(sampleAt(bb, base + b * bps))
                 b += 1
               }
             }
@@ -648,7 +713,17 @@ object GeoTiff {
     val keyMap = keys.grouped(4).collect { case Array(k, _, _, v) => k -> v.toInt }.toMap
     val epsg = keyMap.get(3072L).orElse(keyMap.get(2048L)).getOrElse(4326)
 
-    Raster(itemId, ts, w, h, minX, maxX, minY, maxY, epsg, bands.toSeq)
+    // window envelope: cut from the full envelope along this subfile's
+    // grid. Edges that coincide with the image keep the ORIGINAL bound
+    // bitwise — a full decode must reproduce the exact tag-derived
+    // envelope, not minX + w*((maxX-minX)/w) a last-ulp away.
+    val cwSub = (maxX - minX) / w; val chSub = (maxY - minY) / h
+    Raster(itemId, ts, vw, vh,
+           if (vx0 == 0) minX else minX + vx0 * cwSub,
+           if (vx0 + vw == w) maxX else minX + (vx0 + vw) * cwSub,
+           if (vrow0 + vh == h) minY else maxY - (vrow0 + vh) * chSub,
+           if (vrow0 == 0) maxY else maxY - vrow0 * chSub,
+           epsg, bands.toSeq)
   }
 
   private def firstValue(inline: Array[Byte], tpe: Int, order: ByteOrder): Long = {

@@ -330,6 +330,59 @@ class GeoTiffSpec extends AnyFunSuite {
     reader.dispose()
   }
 
+  test("windowed decode equals a manual crop of the full parse") {
+    val r = mkMulti(37, 23) // deliberately straddles 16x16 tile edges
+    for (tile <- Seq(None, Some((16, 16))); planar <- Seq(1, 2)) {
+      val f = tmp(".tif")
+      GeoTiff.writeFull(r, f, deflate = true, tile = tile, planar = planar)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val full = GeoTiff.parse(bytes, "m1", 7L)
+      // world window [5, 21) x [3, 14) -> pixel window cols 5..20, rows...
+      val wr = GeoTiff.parseWindow(bytes, "m1", 7L, 5.0, 21.0, 3.0, 14.0)
+      val label = s"tile=$tile planar=$planar"
+      assert((wr.minX, wr.maxX, wr.minY, wr.maxY) == (5.0, 21.0, 3.0, 14.0), label)
+      assert((wr.width, wr.height) == (16, 11), label)
+      for (b <- 0 until 3; x <- 0 until wr.width; y <- 0 until wr.height) {
+        val want = full.bands(b)((x + 5) * full.height + (y + 3))
+        val got = wr.bands(b)(x * wr.height + y)
+        assert((want.isNaN && got.isNaN) || want == got, s"$label b=$b ($x,$y)")
+      }
+    }
+  }
+
+  test("windowed decode: clamping, full-cover bitwise envelope, miss errors") {
+    val r = mkRaster(4326) // 17x11 over [10,27]x[-5,6]
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, tile = Some((16, 16)), deflate = true)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // window larger than the image clamps to the exact original envelope
+    val all = GeoTiff.parseWindow(bytes, "t1", 0L, -100.0, 100.0, -100.0, 100.0)
+    assert((all.minX, all.maxX, all.minY, all.maxY) == (10.0, 27.0, -5.0, 6.0))
+    sameValues(r.bands.head, all.bands.head)
+    // disjoint window errors
+    intercept[IllegalArgumentException](
+      GeoTiff.parseWindow(bytes, "t1", 0L, 200.0, 300.0, 0.0, 1.0))
+  }
+
+  test("windowed decode composes with overview selection") {
+    val w = 32; val h = 16
+    val full = Raster("ov", 5L, w, h, 0.0, 32.0, 0.0, 16.0, 4326,
+      Seq(Array.tabulate(w * h)(i => ((i / h) * 31 + (i % h) * 17) % 97 + 0.5)))
+    val f = tmp(".tif")
+    GeoTiff.writeFull(full, f, tile = Some((16, 16)), deflate = true, overviews = Seq(2))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // factor-2 overview grid: cells of 2 world units; window [4,12)x[2,10)
+    val wr = GeoTiff.parseWindow(bytes, "ov", 5L, 4.0, 12.0, 2.0, 10.0,
+                                 targetCellWidth = 2.0)
+    assert((wr.width, wr.height) == (4, 4))
+    assert((wr.minX, wr.maxX, wr.minY, wr.maxY) == (4.0, 12.0, 2.0, 10.0))
+    for (x <- 0 until 4; y <- 0 until 4) {
+      // overview cell (x+2, y+1) = full(2(x+2), 2(y+1))
+      val want = full.bands.head((2 * (x + 2)) * h + 2 * (y + 1))
+      assert(wr.bands.head(x * 4 + y) == want, s"($x,$y)")
+    }
+  }
+
   test("exportObservation: zip target bundles tiff + vat sidecar deterministically") {
     import graft.raster.DataKey
     val r = mkRaster(4326)
