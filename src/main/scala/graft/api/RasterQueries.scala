@@ -366,6 +366,65 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // the COG-NATIVE mosaic pipeline end-to-end (probe -> per-tile window
+    // decode -> fragment shuffle, Mosaic.mergeToTilesCog): same fixture and
+    // oracle as q73, but files are never fully decoded — each (item, tile)
+    // pair inflates only the strips/tiles under the tile bbox + apron at
+    // the selected overview level, so the shuffle carries fragments sized
+    // by the REGION, not the source resolution. Bit-equality of the two
+    // pipelines is additionally proven across kernels/modes/CRS in
+    // CogMosaicSpec; this entry pins the result to the DuckDB oracle.
+    "q74_cog_window_mosaic" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      import graft.raster.CogFile
+      import graft.sources.GeoTiff
+      val stageDir = java.nio.file.Files.createTempDirectory("graft_q74")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try java.nio.file.Files.walk(stageDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }))
+      val stagePath = stageDir.toFile.getAbsolutePath
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long]
+        .foreach { k =>
+          val w = 32; val h = 16
+          val r = Raster(f"item-$k%03d", k, w, h,
+                         k * 6.0, k * 6.0 + 32.0, k * 4.0, k * 4.0 + 16.0, 4326,
+                         Seq(Array.tabulate(w * h)(i =>
+                           k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+          GeoTiff.writeFull(r, new java.io.File(stagePath, s"${r.item_id}.tif"),
+            bits = 32, deflate = true, tile = Some((16, 16)),
+            overviews = if (k % 2 == 0) Seq(2, 4) else Seq(2))
+        }
+      val region = TileGeometry(100, 80, 0.0, 400.0, 0.0, 320.0, 4326, 0L, 0L)
+      val files = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          CogFile(id, id.stripPrefix("item-").toLong, bytes)
+        }
+      graft.raster.Mosaic.mergeToTilesCog(files, region, graft.raster.Mosaic.Substitute,
+                                          maxCells = 2000L,
+                                          targetCellWidth = region.cellWidth)
+        .flatMap { r =>
+          val x0 = math.round(r.minX / 4.0).toInt
+          val y0 = math.round(r.minY / 4.0).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // kernel-switched mosaic (W2 + the semantic chooser's override path,
     // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
     // coarser region — every target cell center lands exactly between four
@@ -617,6 +676,36 @@ object RasterQueries {
       .orderBy(col("cx"), col("cy"))
   }
 
+  /** q73/q74 shared replay: region cell centers wx = 4cx+2 land in item k's
+    * grid (origin 6k/4k, full cells of 1); the engine reads the factor-4
+    * overview for even k (values at full-res stride 4) and the factor-2
+    * overview for odd k (stride 2). Pure integer arithmetic in both
+    * engines. */
+  private val CogOverviewOracle: String =
+    """WITH cells AS (
+      |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
+      |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |hits AS (
+      |  SELECT c.cx, c.cy, i.k,
+      |         4 * c.cx + 2 - 6 * i.k AS sx, 4 * c.cy + 2 - 4 * i.k AS sy
+      |  FROM cells c, items i
+      |  WHERE 4 * c.cx + 2 >= 6 * i.k AND 4 * c.cx + 2 < 6 * i.k + 32
+      |    AND 4 * c.cy + 2 >= 4 * i.k AND 4 * c.cy + 2 < 4 * i.k + 16),
+      |contrib AS (
+      |  SELECT cx, cy, k,
+      |         CAST(k * 1000 + CASE WHEN k % 2 = 0 THEN
+      |           (4 * LEAST(GREATEST(CAST(FLOOR(sx / 4.0) AS BIGINT), 0), 7) * 31
+      |          + 4 * LEAST(GREATEST(CAST(FLOOR(sy / 4.0) AS BIGINT), 0), 3) * 17) % 97
+      |         ELSE
+      |           (2 * LEAST(GREATEST(CAST(FLOOR(sx / 2.0) AS BIGINT), 0), 15) * 31
+      |          + 2 * LEAST(GREATEST(CAST(FLOOR(sy / 2.0) AS BIGINT), 0), 7) * 17) % 97
+      |         END AS DOUBLE) AS v
+      |  FROM hits),
+      |m AS (SELECT cx, cy, arg_max(v, k) AS v FROM contrib GROUP BY 1, 2)
+      |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
+      |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
+      |ORDER BY c.cx, c.cy""".stripMargin
+
   private def mosaicOracle(agg: String): String =
     s"""WITH cells AS (
        |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
@@ -772,30 +861,11 @@ object RasterQueries {
     // the factor-4 overview for even k (values at full-res stride 4) and
     // the factor-2 overview for odd k (stride 2). Pure integer arithmetic
     // in both engines.
-    "q73_cog_overview_mosaic" ->
-      """WITH cells AS (
-        |  SELECT cx.cx, cy.cy FROM generate_series(0, 99) cx(cx), generate_series(0, 79) cy(cy)),
-        |items AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
-        |hits AS (
-        |  SELECT c.cx, c.cy, i.k,
-        |         4 * c.cx + 2 - 6 * i.k AS sx, 4 * c.cy + 2 - 4 * i.k AS sy
-        |  FROM cells c, items i
-        |  WHERE 4 * c.cx + 2 >= 6 * i.k AND 4 * c.cx + 2 < 6 * i.k + 32
-        |    AND 4 * c.cy + 2 >= 4 * i.k AND 4 * c.cy + 2 < 4 * i.k + 16),
-        |contrib AS (
-        |  SELECT cx, cy, k,
-        |         CAST(k * 1000 + CASE WHEN k % 2 = 0 THEN
-        |           (4 * LEAST(GREATEST(CAST(FLOOR(sx / 4.0) AS BIGINT), 0), 7) * 31
-        |          + 4 * LEAST(GREATEST(CAST(FLOOR(sy / 4.0) AS BIGINT), 0), 3) * 17) % 97
-        |         ELSE
-        |           (2 * LEAST(GREATEST(CAST(FLOOR(sx / 2.0) AS BIGINT), 0), 15) * 31
-        |          + 2 * LEAST(GREATEST(CAST(FLOOR(sy / 2.0) AS BIGINT), 0), 7) * 17) % 97
-        |         END AS DOUBLE) AS v
-        |  FROM hits),
-        |m AS (SELECT cx, cy, arg_max(v, k) AS v FROM contrib GROUP BY 1, 2)
-        |SELECT c.cx, c.cy, c.cx * 80 + c.cy AS cell_idx, m.v
-        |FROM cells c LEFT JOIN m ON c.cx = m.cx AND c.cy = m.cy
-        |ORDER BY c.cx, c.cy""".stripMargin,
+    "q73_cog_overview_mosaic" -> CogOverviewOracle,
+
+    // q74 replays identically to q73: the window pipeline must not change
+    // a single value, only the bytes decoded.
+    "q74_cog_window_mosaic" -> CogOverviewOracle,
 
     // q71: the 4x4 cubic-convolution replay. fx = fy = 0.5 everywhere, so
     // per-axis tap weights are (-1, 9, 9, -1)/16; the 16 products are summed

@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.broadcast
 
 import graft.model.{Raster, TileGeometry}
+import graft.sources.GeoTiff
+
+/** One COG file for [[Mosaic.mergeToTilesCog]] (top-level: Catalyst encoders
+  * cannot codegen case classes nested inside objects). */
+final case class CogFile(item_id: String, ts: Long, bytes: Array[Byte])
 
 /**
  * Distributed mosaic merge (J4/A2): N overlapping raster items -> one value
@@ -108,34 +113,122 @@ object Mosaic {
     assigned.union(emptyTiles)
       .groupByKey(_._1)
       .mapGroups { (tileIdx, rows) =>
-        val (t, x0, y0) = tilesB.value(tileIdx)
-        val frags = rows.map(_._2).filter(_ != null).toArray
-        // determinism: sort by (ts, item_id) so SUBSTITUTE's later items win
-        // independently of shuffle arrival order
-        val sorted = frags.sortBy(r => (r.ts, r.item_id))
-        val acc = Array.fill(t.width * t.height)(Double.NaN)
-        sorted.foreach { r =>
-          // region-anchored sampling: split size never changes values.
-          // Mixed-CRS items sample through the world->source CRS hook (the
-          // reference's resample-with-CRS, RasterEncoder.java:376-389)
-          val hook = if (r.epsg == regionB.value.epsg) null
-                     else Crs.transform(regionB.value.epsg, r.epsg)
-          val vals = Resample.toGridAnchored(r, regionB.value, x0, y0, t.width, t.height,
-                                             kernel, 0, hook)
-          var i = 0
-          while (i < acc.length) {
-            val v = vals(i)
-            if (!java.lang.Double.isNaN(v)) {
-              mode match {
-                case Substitute => acc(i) = v
-                case Sum        => acc(i) = if (java.lang.Double.isNaN(acc(i))) v else acc(i) + v
-              }
-            }
-            i += 1
+        mergeFragments(tileIdx, rows.map(_._2), tilesB.value(tileIdx),
+                       regionB.value, mode, kernel)
+      }
+  }
+
+  /** Merge one tile's fragment list (shared by the decoded-raster and the
+    * COG-window paths — a window fragment is just a smaller Raster whose
+    * cell grid is aligned with its item's). */
+  private def mergeFragments(tileIdx: Int, rows: Iterator[Raster],
+                             tileAt: (TileGeometry, Int, Int), region: TileGeometry,
+                             mode: MergeMode, kernel: Resample.Kernel): Raster = {
+    val (t, x0, y0) = tileAt
+    val frags = rows.filter(_ != null).toArray
+    // determinism: sort by (ts, item_id) so SUBSTITUTE's later items win
+    // independently of shuffle arrival order
+    val sorted = frags.sortBy(r => (r.ts, r.item_id))
+    val acc = Array.fill(t.width * t.height)(Double.NaN)
+    sorted.foreach { r =>
+      // region-anchored sampling: split size never changes values.
+      // Mixed-CRS items sample through the world->source CRS hook (the
+      // reference's resample-with-CRS, RasterEncoder.java:376-389)
+      val hook = if (r.epsg == region.epsg) null
+                 else Crs.transform(region.epsg, r.epsg)
+      val vals = Resample.toGridAnchored(r, region, x0, y0, t.width, t.height,
+                                         kernel, 0, hook)
+      var i = 0
+      while (i < acc.length) {
+        val v = vals(i)
+        if (!java.lang.Double.isNaN(v)) {
+          mode match {
+            case Substitute => acc(i) = v
+            case Sum        => acc(i) = if (java.lang.Double.isNaN(acc(i))) v else acc(i) + v
           }
         }
-        Raster(s"tile-$tileIdx", 0L, t.width, t.height,
-               t.minX, t.maxX, t.minY, t.maxY, t.epsg, Seq(acc))
+        i += 1
+      }
+    }
+    Raster(s"tile-$tileIdx", 0L, t.width, t.height,
+           t.minX, t.maxX, t.minY, t.maxY, t.epsg, Seq(acc))
+  }
+
+  /**
+   * COG-native mosaic: files stay WHERE THEY ARE; only window fragments
+   * move. Each file is header-probed (GeoTiff.probe — no pixel decode) for
+   * tile assignment, then for every intersecting tile the executor decodes
+   * ONLY the strips/tiles under that tile's bbox + kernel apron, at the
+   * overview level matching the region's cell size (GeoTiff.parseWindow).
+   * The shuffle therefore carries O(region cells) of fragment data
+   * regardless of source resolution — mosaicking a 100x80-cell region out
+   * of 10^5-pixel COGs moves kilobytes per (item, tile) pair, where
+   * [[mergeToTiles]] over fully decoded rasters would move the full grids.
+   * Merging reuses the exact fragment semantics of [[mergeToTiles]]
+   * (CogMosaicSpec proves bit-equality against the full-decode path).
+   *
+   * @param band            band to mosaic (the reference's BAND_PARAM /
+   *                        selectSampleDimension, RasterEncoder.java:107-113)
+   * @param targetCellWidth 0 = full resolution; else the overview-selection
+   *                        target (normally region.cellWidth)
+   */
+  def mergeToTilesCog(files: Dataset[CogFile], region: TileGeometry, mode: MergeMode,
+                      kernel: Resample.Kernel = Resample.Nearest,
+                      maxCells: Long = 1000000L,
+                      band: Int = 0,
+                      targetCellWidth: Double = 0.0): Dataset[Raster] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+
+    val tiles = splitTilesWithOffsets(region, maxCells)
+    val tilesB = spark.sparkContext.broadcast(tiles.toArray)
+    val side = math.max(1, math.sqrt(maxCells.toDouble).toInt)
+    val nx = (region.width + side - 1) / side
+    val ny = (region.height + side - 1) / side
+    val cw = region.cellWidth; val ch = region.cellHeight
+    val regionB = spark.sparkContext.broadcast(region)
+
+    val fragments = files.flatMap { f =>
+      val p = GeoTiff.probe(f.bytes, f.item_id)
+      val (eMinX, eMaxX, eMinY, eMaxY) =
+        if (p.epsg == region.epsg) (p.minX, p.maxX, p.minY, p.maxY)
+        else Crs.transformEnvelope(p.epsg, regionB.value.epsg,
+                                   p.minX, p.maxX, p.minY, p.maxY)
+      // kernel apron in region units of the item's own resolution
+      val ax = 2 * (eMaxX - eMinX) / p.width; val ay = 2 * (eMaxY - eMinY) / p.height
+      @inline def clamp(v: Int, hi: Int) = math.max(0, math.min(v, hi))
+      val txLo = clamp(math.floor((eMinX - ax - regionB.value.minX) / cw).toInt / side, nx - 1)
+      val txHi = clamp(math.floor((eMaxX + ax - regionB.value.minX) / cw).toInt / side, nx - 1)
+      val tyLo = clamp(math.floor((eMinY - ay - regionB.value.minY) / ch).toInt / side, ny - 1)
+      val tyHi = clamp(math.floor((eMaxY + ay - regionB.value.minY) / ch).toInt / side, ny - 1)
+      for {
+        tx <- txLo to txHi
+        ty <- tyLo to tyHi
+        i = tx * ny + ty
+        t = tilesB.value(i)._1
+        if eMinX < t.maxX + ax && eMaxX > t.minX - ax &&
+           eMinY < t.maxY + ay && eMaxY > t.minY - ay
+        // tile window in the SOURCE frame (+ apron); conservative envelope
+        // transform for mixed CRS, exact when frames match
+        (wx0, wx1, wy0, wy1) =
+          if (p.epsg == region.epsg)
+            (t.minX - ax, t.maxX + ax, t.minY - ay, t.maxY + ay)
+          else Crs.transformEnvelope(regionB.value.epsg, p.epsg,
+                                     t.minX - ax, t.maxX + ax, t.minY - ay, t.maxY + ay)
+        frag <- (try Some(GeoTiff.parseWindow(f.bytes, f.item_id, f.ts,
+                                              wx0, wx1, wy0, wy1,
+                                              Some(Seq(band)), targetCellWidth))
+                 catch { case _: IllegalArgumentException => None }) // window missed
+      } yield (i, frag)
+    }
+
+    val emptyTiles = spark.createDataset(tiles.indices.toSeq)
+      .map(i => (i, null.asInstanceOf[Raster]))
+    fragments.union(emptyTiles)
+      .groupByKey(_._1)
+      .mapGroups { (tileIdx, rows) =>
+        mergeFragments(tileIdx, rows.map(_._2), tilesB.value(tileIdx),
+                       regionB.value, mode, kernel)
       }
   }
 }

@@ -434,6 +434,29 @@ object GeoTiff {
     out.result()
   }
 
+  /** Header-only metadata (no pixel decode): full envelope, EPSG, IFD0
+    * dims, band count. The assignment side of a COG mosaic probes this per
+    * file — O(header bytes), never the image. */
+  final case class Probe(minX: Double, maxX: Double, minY: Double, maxY: Double,
+                         epsg: Int, width: Int, height: Int, bands: Int)
+
+  def probe(bytes: Array[Byte], itemId: String = "tiff"): Probe = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first)
+    val w = tags.scalar(TImageWidth).toInt; val h = tags.scalar(TImageLength).toInt
+    val scale = tags.doubles(TModelPixelScale)
+    val tie = tags.doubles(TModelTiepoint)
+    require(scale.length >= 2 && tie.length >= 5,
+            s"$itemId: missing GeoTIFF georeferencing tags")
+    val minX = tie(3) - tie(0) * scale(0)
+    val maxY = tie(4) + tie(1) * scale(1)
+    val keys = tags.longs(TGeoKeyDirectory)
+    val keyMap = keys.grouped(4).collect { case Array(k, _, _, v) => k -> v.toInt }.toMap
+    Probe(minX, minX + w * scale(0), maxY - h * scale(1), maxY,
+          keyMap.get(3072L).orElse(keyMap.get(2048L)).getOrElse(4326), w, h,
+          math.max(1, tags.scalar(TSamplesPerPixel, 1).toInt))
+  }
+
   /** Read a GeoTIFF into a [[Raster]] (all bands, full resolution).
     * `item_id` defaults to the file name stem, ts to 0 (the caller owns
     * temporal metadata). */
