@@ -212,6 +212,24 @@ object AnnQueries {
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"), max($"vec_id").as("max_vec"))
         .orderBy($"bucket")
+    },
+
+    // int8 symmetric quantization (the embedding-compression prep step of a
+    // training/retrieval pipeline): per-vector absmax scale, q = round(x /
+    // absmax * 127); emitted stats are integer-derived (saturation count,
+    // integer component sum, integer squared norm) so the compare is exact
+    "q46_embed_quantize" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("absmax", array_max(transform($"v", x => abs(x))))
+        .withColumn("q", transform($"v", x => round(x / $"absmax" * 127.0, 0).cast("bigint")))
+        .select(
+          $"vec_id",
+          size(filter($"q", x => abs(x) === 127)).cast("bigint").as("n_sat"),
+          aggregate($"q", lit(0L), (acc, x) => acc + x).as("sum_q"),
+          aggregate($"q", lit(0L), (acc, x) => acc + x * x).as("sq_norm"))
+        .orderBy($"vec_id")
     })
 
   /** One exact Lloyd iteration: assign quantized vectors to the integer init
@@ -368,6 +386,19 @@ object AnnQueries {
          |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
          |      FROM cand)
          |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q46_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(ROUND(x / list_max(list_transform(v, y -> abs(y))) * 127.0, 0) AS BIGINT)) AS q
+        |  FROM e)
+        |SELECT vec_id,
+        |       CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |       CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |       CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sq_norm
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q42_neardup_embedding" ->
       s"""WITH e AS (

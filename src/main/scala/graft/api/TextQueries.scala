@@ -150,6 +150,48 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // composite quality score + filter (the C4/Gopher-style signal stack a
+    // training pipeline gates documents on): stopword ratio, non-alnum
+    // ratio, length saturation — combined linearly, threshold-filtered.
+    // Every ratio is ROUND(...,6)'d so the score is replayable.
+    "q45_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val stops = Seq("the", "of", "and", "a", "to", "in", "is", "it")
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tokens", size($"toks").cast("bigint"))
+        .withColumn("stop_ratio",
+          round(size(filter($"toks", t => t.isin(stops.map(lit): _*))).cast("double")
+                / $"n_tokens", 6))
+        .withColumn("alnum_ratio",
+          round(length(regexp_replace($"text", "[^a-z0-9 ]", "")).cast("double")
+                / length($"text"), 6))
+        .withColumn("len_sat",
+          round(least($"n_tokens".cast("double") / 100.0, lit(1.0)), 6))
+        .withColumn("score",
+          round($"stop_ratio" * 2.0 + $"alnum_ratio" * 1.0 + $"len_sat" * 0.5, 6))
+        .filter($"score" >= 1.2)
+        .select($"doc_id", $"n_tokens", $"stop_ratio", $"alnum_ratio", $"len_sat", $"score")
+        .orderBy($"doc_id")
+    },
+
+    // deterministic train/val/test split by content hash (leakage-free:
+    // the assignment follows the TEXT, so exact duplicates land in the
+    // same split): first md5 hex char 0-b train (12/16), c-d val, e-f test
+    "q47_dataset_split" -> { (s, dir) =>
+      import s.implicits._
+      val c = substring(md5($"text"), 1, 1)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split",
+          when(c <= "b", "train").when(c <= "d", "val").otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             min($"doc_id").as("min_doc"),
+             max($"doc_id").as("max_doc"),
+             sum($"n_chars").as("sum_chars"))
+        .orderBy($"split")
+    },
+
     // 16-bit SimHash: bit b votes by the parity of md5 hex char b across the
     // token multiset; simhash bit set iff the (+1/-1) vote sum is positive
     "q36_simhash" -> { (s, dir) =>
@@ -271,6 +313,37 @@ object TextQueries {
         |       CAST(len(list_distinct(units)) AS BIGINT) AS n_distinct_units,
         |       COALESCE(list_max(list_transform(units, x -> CAST(length(x) AS BIGINT))), 0) AS max_unit_len
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q45_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, n_tokens,
+        |         ROUND(CAST(len(list_filter(toks,
+        |           x -> x IN ('the','of','and','a','to','in','is','it'))) AS DOUBLE)
+        |           / n_tokens, 6) AS stop_ratio,
+        |         ROUND(CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / length(text), 6) AS alnum_ratio,
+        |         ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS len_sat
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio, alnum_ratio, len_sat,
+        |       ROUND(stop_ratio * 2.0 + alnum_ratio * 1.0 + len_sat * 0.5, 6) AS score
+        |FROM sig
+        |WHERE ROUND(stop_ratio * 2.0 + alnum_ratio * 1.0 + len_sat * 0.5, 6) >= 1.2
+        |ORDER BY doc_id""".stripMargin,
+
+    "q47_dataset_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |              WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        |       MAX(doc_id) AS max_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q36_simhash" ->
       s"""WITH tok AS (
