@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape regressions: the properties that make the hot queries
+  * scale-sound, asserted on the actual plans so a refactor cannot silently
+  * reintroduce a known scale-killer. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def optimized(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+
+  private def executed(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).length
+
+  test("q33: exactly ONE md5 evaluation per token (the round-2 regression)") {
+    // the 4 signature columns must share one hoisted md5 array — the
+    // optimized plan carries a single md5 call, not one per lambda
+    assert(count(optimized("q33_minhash_sigs"), "md5\\(") == 1)
+  }
+
+  test("q35: the shingle fingerprint is the single native expression") {
+    val p = optimized("q35_fingerprint")
+    assert(count(p, "graft_shingle_min_md5") == 1)
+    // and not decomposed into per-shingle transform/slice pipelines
+    assert(!p.contains("slice("))
+  }
+
+  test("q43: IVF assignment is shuffle-free below the probe join") {
+    val plan = executed("q43_ann_ivf")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, "probe join missing from the plan")
+    val below = plan.substring(joinIdx)
+    assert(count(below, "Window") == 0, "argmax must not be a Window")
+    assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
+  }
+
+  test("q12: the winding refine lives in the join, not a post-join filter") {
+    val plan = executed("q12_pip_join")
+    assert(plan.contains("graft_contains"), "winding refine missing")
+    // no Filter node evaluating the refine AFTER the join materializes rows
+    val filterIdx = plan.linesIterator.filter(_.contains("graft_contains"))
+      .filter(_.trim.startsWith("Filter")).size
+    assert(filterIdx == 0, "refine must be pushed into the join condition")
+  }
+
+  test("q16 flagship: broadcast join on the long cell key, no sort-merge") {
+    val plan = executed("q16_docs_pip")
+    assert(count(plan, "BroadcastHashJoin") >= 1)
+    assert(count(plan, "SortMergeJoin") == 0)
+    assert(count(plan, "CartesianProduct") == 0)
+  }
+
+  test("no CartesianProduct anywhere except the labeled brute-force baseline") {
+    for (q <- Seq("q37_jaccard_neardup", "q42_neardup_embedding",
+                  "q34_lsh_buckets", "q13_knn")) {
+      val plan = executed(q)
+      assert(count(plan, "CartesianProduct") == 0, q)
+    }
+  }
+}
