@@ -99,6 +99,40 @@ object DocStream {
     }
   }
 
+  final case class BucketState(members: Seq[Long])
+
+  /** Per-(band, sig) LSH transition: each arrival pairs with the bucket's
+    * REMEMBERED members (candidate pairs a < b, the streaming analog of
+    * BucketedSelfJoin), then joins the state up to `cap` members — beyond
+    * the cap a bucket is degenerate (a stop-signature) and stops
+    * remembering, which bounds per-key state exactly like the batch cap
+    * bounds the self-join. `ttlMs` evicts idle buckets (same trade as
+    * [[dedupUpdate]]). Unit-tested with TestGroupState; at stream level the
+    * composition is readStream -> minhash band signatures -> groupByKey
+    * ((band, sig)) -> flatMapGroupsWithState(this). */
+  private[graft] def lshBucketUpdate(cap: Int, ttlMs: Long)(
+      key: (Int, String), rows: Iterator[Long],
+      state: GroupState[BucketState]): Iterator[(Long, Long)] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+      val out = Seq.newBuilder[(Long, Long)]
+      rows.toSeq.sorted.foreach { id =>
+        if (!members.contains(id)) {
+          members.foreach { m =>
+            out += (if (m < id) (m, id) else (id, m))
+          }
+          if (members.length < cap) members :+= id
+        }
+      }
+      state.update(BucketState(members))
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      out.result().iterator
+    }
+  }
+
   /** Stateful streaming dedup: the first doc_id seen for a text hash owns
     * it; later arrivals are flagged duplicates. `stateTtl` bounds the state
     * store (hashes idle longer than the TTL are evicted — state must not

@@ -77,6 +77,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0)
   }
 
+  test("LSH bucket transition: pairs vs remembered members, cap bounds state, TTL evicts") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout
+    def st(prev: Option[DocStream.BucketState], timedOut: Boolean = false) =
+      TestGroupState.create[DocStream.BucketState](
+        optionalState = prev.map(org.apache.spark.api.java.Optional.of[DocStream.BucketState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[DocStream.BucketState]()),
+        timeoutConf = ProcessingTimeTimeout, batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = timedOut)
+    val f = DocStream.lshBucketUpdate(cap = 3, ttlMs = 60000L) _
+    // first batch: 2 arrivals pair with each other, both remembered
+    val s1 = st(None)
+    assert(f((0, "sig"), Iterator(7L, 3L), s1).toSet === Set((3L, 7L)))
+    assert(s1.get.members === Seq(3L, 7L))
+    // second batch: new arrival pairs with BOTH members; cap 3 reached
+    val s2 = st(Some(DocStream.BucketState(Seq(3L, 7L))))
+    assert(f((0, "sig"), Iterator(5L), s2).toSet === Set((3L, 5L), (5L, 7L)))
+    assert(s2.get.members === Seq(3L, 7L, 5L))
+    // beyond the cap: arrivals still pair but are no longer remembered
+    val s3 = st(Some(DocStream.BucketState(Seq(3L, 7L, 5L))))
+    assert(f((0, "sig"), Iterator(9L), s3).size === 3)
+    assert(s3.get.members === Seq(3L, 7L, 5L)) // state bounded
+    // duplicate arrival: no self-pair, no growth
+    val s4 = st(Some(DocStream.BucketState(Seq(3L, 7L))))
+    assert(f((0, "sig"), Iterator(3L), s4).isEmpty)
+    assert(s4.get.members === Seq(3L, 7L))
+    // timeout evicts
+    val s5 = st(Some(DocStream.BucketState(Seq(3L))), timedOut = true)
+    assert(f((0, "sig"), Iterator.empty, s5).isEmpty && s5.isRemoved)
+  }
+
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
     import spark.implicits._
     val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
