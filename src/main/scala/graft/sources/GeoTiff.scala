@@ -335,6 +335,11 @@ object GeoTiff {
     out
   }
 
+  /** Chunks actually copied+inflated since JVM start (diagnostic: the
+    * window/plane-skip claims are ASSERTED against this in GeoTiffSpec, not
+    * just documented). Monotonic, thread-safe; test-only consumer. */
+  private[graft] val chunksDecoded = new java.util.concurrent.atomic.AtomicLong(0)
+
   private final case class Entry(tag: Int, tpe: Int, count: Int, valueOrOffset: Long,
                                  inline: Array[Byte])
 
@@ -637,6 +642,7 @@ object GeoTiff {
       // copied or inflated (the COG partial-read property)
       if (x0 >= vx0 + vw || x0 + cw_ <= vx0 || row0 >= vrow0 + vh || row0 + ch_ <= vrow0)
         return
+      chunksDecoded.incrementAndGet()
       val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
       val data = if (compression == 8) inflateBytes(raw, expected) else raw
       val bb = ByteBuffer.wrap(data).order(order)

@@ -350,6 +350,34 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed decode INFLATES only intersecting chunks (measured, not claimed)") {
+    // 128x128 image in 16x16 tiles = 64 tiles; a one-tile window must
+    // decode exactly 1 chunk, the full parse all 64
+    val w = 128; val h = 128
+    val r = Raster("big", 0L, w, h, 0.0, 128.0, 0.0, 128.0, 4326,
+      Seq(Array.tabulate(w * h)(i => (i % 251).toDouble)))
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, bits = 32, deflate = true, tile = Some((16, 16)))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val c0 = GeoTiff.chunksDecoded.get()
+    GeoTiff.parse(bytes, "big")
+    val full = GeoTiff.chunksDecoded.get() - c0
+    assert(full == 64L, s"full decode touched $full chunks")
+    val c1 = GeoTiff.chunksDecoded.get()
+    GeoTiff.parseWindow(bytes, "big", 0L, 33.0, 45.0, 81.0, 93.0) // inside one tile... spans 2x2 tile grid at most
+    val windowed = GeoTiff.chunksDecoded.get() - c1
+    assert(windowed <= 4L, s"window decode touched $windowed chunks")
+    // planar skip: a 3-band planar file decodes a single selected band's
+    // strips only
+    val m = mkMulti(32, 16)
+    val fp = tmp(".tif")
+    GeoTiff.writeFull(m, fp, deflate = true, planar = 2)
+    val bp = java.nio.file.Files.readAllBytes(fp.toPath)
+    val c2 = GeoTiff.chunksDecoded.get()
+    GeoTiff.parseBands(bp, "m1", 7L, Some(Seq(1)))
+    assert(GeoTiff.chunksDecoded.get() - c2 == 1L)
+  }
+
   test("windowed decode: clamping, full-cover bitwise envelope, miss errors") {
     val r = mkRaster(4326) // 17x11 over [10,27]x[-5,6]
     val f = tmp(".tif")
