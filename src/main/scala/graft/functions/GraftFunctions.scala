@@ -37,34 +37,40 @@ object GraftFunctions {
       graft.index.CellIndex.coverGeometry(geom, level)
     }
 
-  /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** The SQL function surface as (identifier, info, builder) triples —
+    * shared by per-session [[register]] and the spark-submit-time
+    * [[graft.GraftExtensions]] injection. */
+  private[graft] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+                                        Seq[Expression] => Expression)] = {
     def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
              (exprs: Seq[Expression]): Expression = {
       require(exprs.length == n,
         s"$name requires $n arguments, got ${exprs.length}")
       build(exprs)
     }
-    reg.registerFunction(
-      FunctionIdentifier("graft_cell_id"),
-      new ExpressionInfo(classOf[CellIdExpr].getName, "graft_cell_id"),
-      arity("graft_cell_id", 3)(e => CellIdExpr(e(0), e(1), e(2))) _)
-    reg.registerFunction(
-      FunctionIdentifier("graft_contains"),
-      new ExpressionInfo(classOf[WindingContainsExpr].getName, "graft_contains"),
-      arity("graft_contains", 3)(e => WindingContainsExpr(e(0), e(1), e(2))) _)
-    reg.registerFunction(
-      FunctionIdentifier("graft_jaccard"),
-      new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
-      arity("graft_jaccard", 2)(e => JaccardSortedExpr(e(0), e(1))) _)
-    reg.registerFunction(
-      FunctionIdentifier("graft_shingle_min_md5"),
-      new ExpressionInfo(classOf[ShingleMinMd5Expr].getName, "graft_shingle_min_md5"),
-      arity("graft_shingle_min_md5", 2)(e => ShingleMinMd5Expr(e(0), e(1))) _)
-    reg.registerFunction(
-      FunctionIdentifier("graft_hyperplane_bucket"),
-      new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
-      arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _)
+    Seq(
+      (FunctionIdentifier("graft_cell_id"),
+       new ExpressionInfo(classOf[CellIdExpr].getName, "graft_cell_id"),
+       arity("graft_cell_id", 3)(e => CellIdExpr(e(0), e(1), e(2))) _),
+      (FunctionIdentifier("graft_contains"),
+       new ExpressionInfo(classOf[WindingContainsExpr].getName, "graft_contains"),
+       arity("graft_contains", 3)(e => WindingContainsExpr(e(0), e(1), e(2))) _),
+      (FunctionIdentifier("graft_jaccard"),
+       new ExpressionInfo(classOf[JaccardSortedExpr].getName, "graft_jaccard"),
+       arity("graft_jaccard", 2)(e => JaccardSortedExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_shingle_min_md5"),
+       new ExpressionInfo(classOf[ShingleMinMd5Expr].getName, "graft_shingle_min_md5"),
+       arity("graft_shingle_min_md5", 2)(e => ShingleMinMd5Expr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_hyperplane_bucket"),
+       new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
+       arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _))
+  }
+
+  /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlFunctions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }
