@@ -94,12 +94,19 @@ object StacTraversal {
       .select($"root_url", $"dst".as("search_url"))
 
     // catalog -> collection (type-checked like Collection(url),
-    // StacResource.java:156-166)
+    // StacResource.java:156-166). A collection reachable from SEVERAL
+    // roots resolves once, deterministically: the search endpoint wins
+    // over static (min over non-null search_urls — the reference prefers
+    // the search flow whenever a catalog advertises one,
+    // StacParser.java:118-141), so items are never emitted twice and the
+    // outcome never depends on shuffle arrival order.
     val collections = rootEdges.filter($"rel" === "child")
       .select($"root_url", $"dst".as("coll_url"))
       .join(nav.filter($"doc_type" === "collection").select(
         $"url".as("coll_url"), $"doc_id".as("collection_id")), "coll_url")
       .join(broadcast(searchEp), Seq("root_url"), "left")
+      .groupBy($"coll_url", $"collection_id")
+      .agg(min($"search_url").as("search_url"))
       .localCheckpoint(true)
 
     // ---- paged search path ----

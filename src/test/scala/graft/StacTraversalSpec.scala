@@ -96,6 +96,26 @@ class StacTraversalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(("a", "i1"), ("b", "i2")))
   }
 
+  test("a collection shared by two roots emits its items exactly once") {
+    import spark.implicits._
+    val docs = Seq(
+      ("https://c/rootA.json",
+       """{"type":"Catalog","id":"A","links":[{"rel":"child","href":"https://c/shared/collection.json"},{"rel":"search","href":"https://c/search"}]}"""),
+      ("https://c/rootB.json",
+       """{"type":"Catalog","id":"B","links":[{"rel":"child","href":"https://c/shared/collection.json"}]}"""),
+      ("https://c/shared/collection.json",
+       """{"type":"Collection","id":"shared","links":[{"rel":"item","href":"./static.json"}]}"""),
+      ("https://c/shared/static.json", item("static-item")),
+      ("https://c/search?collections=shared&limit=2",
+       s"""{"type":"FeatureCollection","features":[${item("paged-item")}],"links":[]}"""))
+      .toDF("url", "json")
+    val out = StacTraversal.walkItems(docs, "url", "json",
+        Seq("https://c/rootA.json", "https://c/rootB.json"), 2)
+      .select($"collection_id", $"item_id").as[(String, String)].collect().toSeq
+    // the search flow wins deterministically; no duplicate rows
+    assert(out === Seq(("shared", "paged-item")))
+  }
+
   test("a non-catalog root contributes nothing") {
     val docs = Seq(
       ("https://c/root.json", """{"type":"Collection","id":"notacat","links":[]}"""))
