@@ -215,10 +215,10 @@ object Mosaic {
             (t.minX - ax, t.maxX + ax, t.minY - ay, t.maxY + ay)
           else Crs.transformEnvelope(regionB.value.epsg, p.epsg,
                                      t.minX - ax, t.maxX + ax, t.minY - ay, t.maxY + ay)
-        frag <- (try Some(GeoTiff.parseWindow(f.bytes, f.item_id, f.ts,
-                                              wx0, wx1, wy0, wy1,
-                                              Some(Seq(band)), targetCellWidth))
-                 catch { case _: IllegalArgumentException => None }) // window missed
+        // None = the (conservative, apron-padded) window missed — cheap and
+        // silent; a CORRUPT file still throws and fails the task loudly
+        frag <- GeoTiff.parseWindowOpt(f.bytes, f.item_id, f.ts, wx0, wx1, wy0, wy1,
+                                       Some(Seq(band)), targetCellWidth)
       } yield (i, frag)
     }
 

@@ -503,7 +503,18 @@ object GeoTiff {
   def parseWindow(bytes: Array[Byte], itemId: String, ts: Long,
                   wMinX: Double, wMaxX: Double, wMinY: Double, wMaxY: Double,
                   select: Option[Seq[Int]] = None,
-                  targetCellWidth: Double = 0.0): Raster = {
+                  targetCellWidth: Double = 0.0): Raster =
+    parseWindowOpt(bytes, itemId, ts, wMinX, wMaxX, wMinY, wMaxY, select, targetCellWidth)
+      .getOrElse(throw new IllegalArgumentException(s"$itemId: window misses the image"))
+
+  /** [[parseWindow]] returning None on a disjoint window — the form bulk
+    * pipelines consume so that a MISS is cheap and silent while a corrupt
+    * file still throws (a 100-TB ingest must never silently drop unreadable
+    * items as "missed windows"). */
+  def parseWindowOpt(bytes: Array[Byte], itemId: String, ts: Long,
+                     wMinX: Double, wMaxX: Double, wMinY: Double, wMaxY: Double,
+                     select: Option[Seq[Int]] = None,
+                     targetCellWidth: Double = 0.0): Option[Raster] = {
     val (buf, order, first) = openTiff(bytes, itemId)
     val (tags0, next0) = readIfd(bytes, buf, order, first)
     // choose the subfile (overview selection as in parseOverview)
@@ -540,11 +551,10 @@ object GeoTiff {
     val px1 = clampI(math.ceil((wMaxX - minX) / cw).toInt, w)
     val row0 = clampI(math.floor((maxY - wMaxY) / chh).toInt, h - 1)
     val row1 = clampI(math.ceil((maxY - wMinY) / chh).toInt, h)
-    require(wMaxX > minX && wMinX < maxX && wMaxY > minY && wMinY < maxY &&
-            px1 > px0 && row1 > row0,
-            s"$itemId: window misses the image")
-    decodeSubfile(bytes, buf, order, chosen, tags0, itemId, ts, select,
-                  Some((px0, row0, px1 - px0, row1 - row0)))
+    if (wMaxX <= minX || wMinX >= maxX || wMaxY <= minY || wMinY >= maxY ||
+        px1 <= px0 || row1 <= row0) None
+    else Some(decodeSubfile(bytes, buf, order, chosen, tags0, itemId, ts, select,
+                            Some((px0, row0, px1 - px0, row1 - row0))))
   }
 
   /**
