@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.sources.{StacCatalog, StacIngest, StacTraversal, WcsXml}
+import graft.sources.{GeoJson, StacCatalog, StacIngest, StacTraversal, WcsXml}
 
 /**
  * Wire-format ingest queries: actual STAC JSON documents through `from_json`
@@ -163,6 +163,49 @@ object SourceQueries {
         .orderBy($"item_id")
     },
 
+    // GeoJSON vector ingest -> spatial join (the application/geo+json
+    // media path, StacResource.java:123-154): 25 rectangle Polygon Features
+    // built as REAL GeoJSON text, parsed by GeoJson.parsePolygons (ring
+    // flattened, closing vertex dropped per RFC 7946), then driven through
+    // the engine's cell-cover + winding PIP join against synthetic event
+    // points. The zones are axis-aligned so the oracle replays membership
+    // as range predicates while the ENGINE still runs the generic polygon
+    // path — any parse/flatten/orientation defect flips the counts.
+    "q75_geojson_pip" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpatialJoin
+      val zonesSrc = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4)
+        .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
+        .withColumn("x1", $"x0" + 0.5)
+        .withColumn("y1", $"y0" + 0.35)
+      def d(c: Column): Column = c.cast("string")
+      val feature = concat(
+        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+        d($"x0"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
+        .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
+        .filter($"ring".isNotNull)
+      val span = 100000.0
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id")
+        .withColumn("lon", lit(Geo.minX) + ($"event_id" * 7919 % 100000).cast("double")
+          / span * (lit(Geo.maxX) - lit(Geo.minX)))
+        .withColumn("lat", lit(Geo.minY) + ($"event_id" * 104729 % 100000).cast("double")
+          / span * (lit(Geo.maxY) - lit(Geo.minY)))
+      SpatialJoin.pointsInZones(pts, zones, level = 12)
+        .groupBy($"zone_id")
+        .agg(count(lit(1)).as("n_pts"),
+             min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+        .orderBy($"zone_id")
+    },
+
     // WCS DescribeCoverage XML -> catalog Layer rows through the DOM parser
     // running as a distributed UDF: envelope corners (whitespace parse F4),
     // urn-form EPSG (F9), grid shape high-low, and the two nodata channels
@@ -233,6 +276,26 @@ object SourceQueries {
          |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
          |  AND ms >= $QStart AND ms <= $QEnd
          |ORDER BY item_id""".stripMargin,
+
+    "q75_geojson_pip" ->
+      s"""WITH z AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         |         ${Geo.MinX} + (CAST(n_nationkey AS BIGINT) % 5) * 0.4E0 AS x0,
+         |         ${Geo.MinY} + FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 0.3E0 AS y0
+         |  FROM nation),
+         |p AS (
+         |  SELECT event_id,
+         |         ${Geo.MinX} + CAST(event_id * 7919 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxX} - ${Geo.MinX}) AS lon,
+         |         ${Geo.MinY} + CAST(event_id * 104729 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxY} - ${Geo.MinY}) AS lat
+         |  FROM events)
+         |SELECT z.k AS zone_id, COUNT(*) AS n_pts,
+         |       MIN(p.event_id) AS min_ev, MAX(p.event_id) AS max_ev
+         |FROM p, z
+         |WHERE p.lon >= z.x0 AND p.lon <= z.x0 + 0.5E0
+         |  AND p.lat >= z.y0 AND p.lat <= z.y0 + 0.35E0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q70_stac_traversal" ->
       """SELECT concat('col-', CAST(event_id % 5 AS VARCHAR)) AS collection_id,
