@@ -55,6 +55,7 @@ object GeoTiff {
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
   private val TPlanarConfig = 284
+  private val TPredictor = 317
   private val TTileWidth = 322
   private val TTileLength = 323
   private val TTileOffsets = 324
@@ -93,8 +94,9 @@ object GeoTiff {
    */
   def writeFull(r: Raster, file: File, bits: Int = 64, deflate: Boolean = false,
                 tile: Option[(Int, Int)] = None, planar: Int = 1,
-                overviews: Seq[Int] = Nil): Unit =
-    Files.write(Paths.get(file.getPath), encode(r, bits, deflate, tile, planar, overviews))
+                overviews: Seq[Int] = Nil, predictor: Int = 1): Unit =
+    Files.write(Paths.get(file.getPath),
+                encode(r, bits, deflate, tile, planar, overviews, predictor))
 
   /** Nearest top-left decimation by `f` (the GDAL NEAREST overview rule). */
   private def decimate(r: Raster, f: Int): Raster = {
@@ -114,9 +116,11 @@ object GeoTiff {
     * encode their own tiles and hand bytes to the committing writer). */
   def encode(r: Raster, bits: Int = 64, deflate: Boolean = false,
              tile: Option[(Int, Int)] = None, planar: Int = 1,
-             overviews: Seq[Int] = Nil): Array[Byte] = {
+             overviews: Seq[Int] = Nil, predictor: Int = 1): Array[Byte] = {
     require(bits == 32 || bits == 64, s"unsupported float width $bits")
     require(planar == 1 || planar == 2, s"bad PlanarConfiguration $planar")
+    require(predictor == 1 || predictor == 3,
+            s"writer supports predictor 1 (none) or 3 (floating point), got $predictor")
     tile.foreach { case (tw, th) =>
       require(tw % 16 == 0 && th % 16 == 0, s"tile dims must be multiples of 16: ${tw}x$th")
     }
@@ -184,7 +188,12 @@ object GeoTiff {
             bb.array()
           }
       }
-      raw.map(c => if (deflate) deflateBytes(c) else c)
+      val sppC = if (planar == 2) 1 else spp
+      val rowBytes = (tile.map(_._1).getOrElse(w)) * sppC * bps
+      raw.map { c0 =>
+        val c = if (predictor == 3) fpPredictEncode(c0, rowBytes, bps) else c0
+        if (deflate) deflateBytes(c) else c
+      }
     }
 
     def shorts(vs: Seq[Long]): Array[Byte] = {
@@ -225,6 +234,8 @@ object GeoTiff {
           (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
           (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong))),
           (TSampleFormat, FtShort, spp, shorts(Seq.fill(spp)(3L)))) ++ // IEEE float
+          (if (predictor != 1)
+             Seq((TPredictor, FtShort, 1, shorts(Seq(predictor.toLong)))) else Nil) ++
           (tile match {
             case None => Seq(
               (TStripOffsets, FtLong, chunks.length, longsB(offs)),
@@ -304,6 +315,97 @@ object GeoTiff {
       buf.putInt(if (i + 1 < ifdOffsets.length) ifdOffsets(i + 1).toInt else 0)
     }
     buf.array()
+  }
+
+  /** TIFF predictor 3 (floating-point, TechNote 3) forward transform of one
+    * chunk: per row, values' IEEE bytes are split into MSB-first byte
+    * planes, then the whole row is horizontally byte-differenced. */
+  private def fpPredictEncode(data: Array[Byte], rowBytes: Int, bps: Int): Array[Byte] = {
+    val out = new Array[Byte](data.length)
+    val nRows = data.length / rowBytes
+    val nSamples = rowBytes / bps
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      // split: plane p holds byte p (MSB first) of every sample; input rows
+      // are little-endian (our writer), so value byte p-from-MSB = index
+      // (bps - 1 - p)
+      var s2 = 0
+      while (s2 < nSamples) {
+        var p = 0
+        while (p < bps) {
+          out(base + p * nSamples + s2) = data(base + s2 * bps + (bps - 1 - p))
+          p += 1
+        }
+        s2 += 1
+      }
+      // difference (in place over the split row), right to left
+      var i = rowBytes - 1
+      while (i > 0) {
+        out(base + i) = (out(base + i) - out(base + i - 1)).toByte
+        i -= 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Predictor 3 inverse: per row, byte-accumulate then regroup the
+    * MSB-first byte planes back into values in `order` byte order. */
+  private def fpPredictDecode(data: Array[Byte], rowBytes: Int, bps: Int,
+                              order: ByteOrder): Array[Byte] = {
+    val nRows = data.length / rowBytes
+    val nSamples = rowBytes / bps
+    val out = new Array[Byte](data.length)
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      var i = 1
+      while (i < rowBytes) {
+        data(base + i) = (data(base + i) + data(base + i - 1)).toByte
+        i += 1
+      }
+      var s2 = 0
+      while (s2 < nSamples) {
+        var p = 0
+        while (p < bps) {
+          val dst = if (order == ByteOrder.LITTLE_ENDIAN) bps - 1 - p else p
+          out(base + s2 * bps + dst) = data(base + p * nSamples + s2)
+          p += 1
+        }
+        s2 += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Predictor 2 (horizontal differencing) inverse for integer samples:
+    * per row, per channel, accumulate sample values modulo the sample
+    * width. Operates in place through a ByteBuffer in `order`. */
+  private def intPredictDecode(data: Array[Byte], rowBytes: Int, bps: Int,
+                               sppC: Int, order: ByteOrder): Array[Byte] = {
+    val bb = ByteBuffer.wrap(data).order(order)
+    val nRows = data.length / rowBytes
+    val samplesPerRow = rowBytes / bps
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      var s2 = sppC
+      while (s2 < samplesPerRow) {
+        val i = base + s2 * bps
+        val j = base + (s2 - sppC) * bps
+        bps match {
+          case 1 => bb.put(i, (bb.get(i) + bb.get(j)).toByte)
+          case 2 => bb.putShort(i, (bb.getShort(i) + bb.getShort(j)).toShort)
+          case 4 => bb.putInt(i, bb.getInt(i) + bb.getInt(j))
+          case _ => throw new IllegalArgumentException(s"predictor 2 with $bps-byte samples")
+        }
+        s2 += 1
+      }
+      r += 1
+    }
+    data
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {
@@ -612,6 +714,14 @@ object GeoTiff {
     val compression = tags.scalar(TCompression, 1).toInt
     require(compression == 1 || compression == 8,
             s"unsupported TIFF compression $compression (only none/deflate)")
+    // predictor (tag 317): silently ignoring it would decode GARBAGE from
+    // the GDAL COGs that pair DEFLATE with predictor 2 (ints) / 3 (floats)
+    val predictor = tags.scalar(TPredictor, 1).toInt
+    require(predictor >= 1 && predictor <= 3, s"$itemId: unknown predictor $predictor")
+    require(predictor != 2 || sampleFormat != 3,
+            s"$itemId: predictor 2 applies to integer samples")
+    require(predictor != 3 || sampleFormat == 3,
+            s"$itemId: predictor 3 applies to floating-point samples")
     val bps = (bits + 7) / 8
 
     // band selection: plane -> output slot (-1 = skip)
@@ -654,7 +764,12 @@ object GeoTiff {
         return
       chunksDecoded.incrementAndGet()
       val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
-      val data = if (compression == 8) inflateBytes(raw, expected) else raw
+      val data0 = if (compression == 8) inflateBytes(raw, expected) else raw
+      val data = predictor match {
+        case 3 => fpPredictDecode(data0, rw * sppC * bps, bps, order)
+        case 2 => intPredictDecode(data0, rw * sppC * bps, bps, sppC, order)
+        case _ => data0
+      }
       val bb = ByteBuffer.wrap(data).order(order)
       var rr = 0
       while (rr < ch_) {

@@ -449,6 +449,68 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(produced.getName.endsWith(".tiff") && produced.exists())
   }
 
+  test("floating-point predictor (3) round-trips bit-exactly") {
+    // the predictor exists for READ COMPATIBILITY (GDAL COGs pair DEFLATE
+    // with PREDICTOR=3 on float data); whether it shrinks any particular
+    // payload is data-dependent and not asserted
+    val w = 64; val h = 48
+    val smooth = Raster("p3", 0L, w, h, 0.0, 64.0, 0.0, 48.0, 4326,
+      Seq(Array.tabulate(w * h)(i => 1000.0 + (i / h) * 0.25 + (i % h) * 0.125)))
+    for (tile <- Seq(None, Some((16, 16))); bits <- Seq(32, 64)) {
+      val pred = GeoTiff.encode(smooth, bits = bits, deflate = true, tile = tile,
+                                predictor = 3)
+      val back = GeoTiff.parse(pred, "p3")
+      sameValues(
+        if (bits == 32) smooth.bands.head.map(v => v.toFloat.toDouble)
+        else smooth.bands.head,
+        back.bands.head)
+    }
+    // NaN + multi-band chunky also round-trips
+    val m = mkMulti(37, 23)
+    val bytes = GeoTiff.encode(m, deflate = true, tile = Some((16, 16)), predictor = 3)
+    val back = GeoTiff.parse(bytes, "m1")
+    for (b <- 0 until 3) sameValues(m.bands(b), back.bands(b))
+  }
+
+  test("horizontal predictor (2) on external int16 files decodes correctly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-crafted 4x3 int16 uncompressed-with-predictor-2 file: rows store
+    // v[0], v[1]-v[0], v[2]-v[1], ... (the GDAL DEFLATE+PREDICTOR=2 shape,
+    // minus the compression which is orthogonal)
+    val w = 4; val h = 3
+    val vals = Array[Short](100, 105, 103, 110, 7, 6, 9, 5, -20, -18, -25, -23)
+    val diffed = new Array[Short](w * h)
+    for (r <- 0 until h; x <- 0 until w)
+      diffed(r * w + x) =
+        if (x == 0) vals(r * w) else (vals(r * w + x) - vals(r * w + x - 1)).toShort
+    val stripOff = 8; val scaleOff = stripOff + w * h * 2
+    val tieOff = scaleOff + 24; val ifdOff = tieOff + 48
+    val nE = 13
+    val buf = ByteBuffer.allocate(ifdOff + 2 + nE * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    diffed.foreach(buf.putShort)
+    Array(1.0, 1.0, 0.0).foreach(buf.putDouble)
+    Array(0.0, 0.0, 0.0, 0.0, 3.0, 0.0).foreach(buf.putDouble)
+    def entry(tag: Int, tpe: Int, count: Int)(wv: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+      val before = buf.position(); wv(buf)
+      while (buf.position() < before + 4) buf.put(0.toByte)
+    }
+    buf.putShort(nE.toShort)
+    entry(256, 4, 1)(_.putInt(w)); entry(257, 4, 1)(_.putInt(h))
+    entry(258, 3, 1)(_.putShort(16)); entry(259, 3, 1)(_.putShort(1))
+    entry(262, 3, 1)(_.putShort(1)); entry(273, 4, 1)(_.putInt(stripOff))
+    entry(277, 3, 1)(_.putShort(1)); entry(278, 4, 1)(_.putInt(h))
+    entry(279, 4, 1)(_.putInt(w * h * 2)); entry(317, 3, 1)(_.putShort(2))
+    entry(339, 3, 1)(_.putShort(2)) // signed int
+    entry(33550, 12, 3)(_.putInt(scaleOff)); entry(33922, 12, 6)(_.putInt(tieOff))
+    buf.putInt(0)
+    val r = GeoTiff.parse(buf.array(), "p2")
+    for (x <- 0 until w; row <- 0 until h)
+      assert(r.bands.head(x * h + (h - 1 - row)) == vals(row * w + x).toDouble,
+             s"($x,$row)")
+  }
+
   test("truncated DEFLATE data fails instead of hanging") {
     val r = mkRaster(4326)
     val f = tmp(".tif")
