@@ -320,7 +320,7 @@ object GeoTiff {
   /** TIFF predictor 3 (floating-point, TechNote 3) forward transform of one
     * chunk: per row, values' IEEE bytes are split into MSB-first byte
     * planes, then the whole row is horizontally byte-differenced. */
-  private def fpPredictEncode(data: Array[Byte], rowBytes: Int, bps: Int): Array[Byte] = {
+  private[graft] def fpPredictEncode(data: Array[Byte], rowBytes: Int, bps: Int): Array[Byte] = {
     val out = new Array[Byte](data.length)
     val nRows = data.length / rowBytes
     val nSamples = rowBytes / bps
@@ -406,6 +406,101 @@ object GeoTiff {
       r += 1
     }
     data
+  }
+
+  /**
+   * TIFF LZW decode (compression 5, TIFF 6.0 §13): MSB-first variable-width
+   * codes, ClearCode 256 / EOI 257, first dictionary entry 258, EARLY
+   * CHANGE code widening (the width grows one code early — at table size
+   * 2^w - 1 — per the spec's LZW flavor, which GDAL/libtiff write).
+   * Read-side only: our writer emits DEFLATE, but real-world GeoTIFFs are
+   * very often LZW and silently failing on them is not acceptable for an
+   * ingest engine.
+   */
+  private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    // dictionary as (prefix code, appended byte); -1 prefix = root literal
+    val maxEntries = 4096
+    val prefix = new Array[Int](maxEntries)
+    val append = new Array[Byte](maxEntries)
+    var nextEntry = 258
+    var width = 9
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return Eoi // truncated stream: stop
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = (data(((bitPos + i) >> 3).toInt) >> (7 - ((bitPos + i) & 7)) & 1)
+        v = (v << 1) | b
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+
+    def emit(code: Int): Int = { // writes the string for `code`, returns first byte
+      if (code < 256) {
+        if (outPos < expected) { out(outPos) = code.toByte; outPos += 1 }
+        code
+      } else {
+        // walk to the root collecting bytes in reverse
+        var stack = List.empty[Byte]
+        var c = code
+        while (c >= 256) { stack = append(c) :: stack; c = prefix(c) }
+        stack = c.toByte :: stack
+        val first = c
+        stack.foreach { b => if (outPos < expected) { out(outPos) = b; outPos += 1 } }
+        first
+      }
+    }
+
+    @inline def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= 256) c = prefix(c)
+      c
+    }
+    @inline def widen(): Unit = // early change: grow one code early
+      if (width < 12 && nextEntry >= (1 << width) - 1) width += 1
+
+    var prev = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) {
+        nextEntry = 258; width = 9; prev = -1
+      } else if (prev < 0) {
+        require(code < 256, s"corrupt LZW stream: first code $code after clear")
+        emit(code)
+        prev = code
+      } else {
+        require(code <= nextEntry, s"corrupt LZW stream: code $code, table $nextEntry")
+        if (code == nextEntry) {
+          // KwKwK: the string is prev's string + prev's first byte — define
+          // the entry first, then emit it
+          require(nextEntry < maxEntries, "corrupt LZW stream: table overflow")
+          prefix(nextEntry) = prev; append(nextEntry) = firstOf(prev).toByte
+          nextEntry += 1
+          widen()
+          emit(code)
+        } else {
+          val fb = emit(code)
+          if (nextEntry < maxEntries) {
+            prefix(nextEntry) = prev; append(nextEntry) = fb.toByte
+            nextEntry += 1
+            widen()
+          }
+        }
+        prev = code
+      }
+    }
+    require(outPos == expected, s"short LZW decode: $outPos of $expected bytes")
+    out
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {
@@ -712,8 +807,8 @@ object GeoTiff {
             s"$itemId: heterogeneous SampleFormat unsupported")
     val sampleFormat = sfAll.headOption.getOrElse(1L).toInt // 1 uint, 2 int, 3 float
     val compression = tags.scalar(TCompression, 1).toInt
-    require(compression == 1 || compression == 8,
-            s"unsupported TIFF compression $compression (only none/deflate)")
+    require(compression == 1 || compression == 5 || compression == 8,
+            s"unsupported TIFF compression $compression (only none/LZW/deflate)")
     // predictor (tag 317): silently ignoring it would decode GARBAGE from
     // the GDAL COGs that pair DEFLATE with predictor 2 (ints) / 3 (floats)
     val predictor = tags.scalar(TPredictor, 1).toInt
@@ -764,7 +859,11 @@ object GeoTiff {
         return
       chunksDecoded.incrementAndGet()
       val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
-      val data0 = if (compression == 8) inflateBytes(raw, expected) else raw
+      val data0 = compression match {
+        case 8 => inflateBytes(raw, expected)
+        case 5 => lzwDecode(raw, expected)
+        case _ => raw
+      }
       val data = predictor match {
         case 3 => fpPredictDecode(data0, rw * sppC * bps, bps, order)
         case 2 => intPredictDecode(data0, rw * sppC * bps, bps, sppC, order)

@@ -511,6 +511,88 @@ class GeoTiffSpec extends AnyFunSuite {
              s"($x,$row)")
   }
 
+  test("LZW strips decode correctly (cross-checked against the JDK reader)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // spec-faithful TIFF LZW encoder (test-side only; the codec is
+    // read-compat): MSB-first codes, Clear/EOI, early-change widening —
+    // the same cadence the decoder implements
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code; nAcc += width
+        while (nAcc >= 8) { bits.write(((acc >> (nAcc - 8)) & 0xff).toInt); nAcc -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap[(Int, Byte), Int]()
+      var next = 258
+      put(256) // Clear
+      var cur = -1
+      data.foreach { b =>
+        if (cur < 0) cur = b & 0xff
+        else dict.get((cur, b)) match {
+          case Some(c) => cur = c
+          case None =>
+            put(cur)
+            dict((cur, b)) = next; next += 1
+            if (width < 12 && next >= (1 << width) - 1) width += 1
+            cur = b & 0xff
+        }
+      }
+      if (cur >= 0) put(cur)
+      put(257) // EOI
+      if (nAcc > 0) bits.write(((acc << (8 - nAcc)) & 0xff).toInt)
+      bits.toByteArray
+    }
+    // 16x9 float32 image with repetitive content (gives LZW real matches)
+    val w = 16; val h = 9
+    val vals = Array.tabulate(w * h)(i => ((i % 7) * 10).toFloat)
+    val pixelBytes = {
+      val bb = ByteBuffer.allocate(w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putFloat); bb.array()
+    }
+    val strip = lzwEncode(pixelBytes)
+    val stripOff = 8
+    val scaleOff = stripOff + strip.length + (strip.length & 1)
+    val tieOff = scaleOff + 24; val ifdOff = tieOff + 48
+    val nE = 12
+    val buf = ByteBuffer.allocate(ifdOff + 2 + nE * 12 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    buf.put(strip)
+    if ((strip.length & 1) == 1) buf.put(0.toByte)
+    Array(1.0, 1.0, 0.0).foreach(buf.putDouble)
+    Array(0.0, 0.0, 0.0, 0.0, 9.0, 0.0).foreach(buf.putDouble)
+    def entry(tag: Int, tpe: Int, count: Int)(wv: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+      val before = buf.position(); wv(buf)
+      while (buf.position() < before + 4) buf.put(0.toByte)
+    }
+    buf.putShort(nE.toShort)
+    entry(256, 4, 1)(_.putInt(w)); entry(257, 4, 1)(_.putInt(h))
+    entry(258, 3, 1)(_.putShort(32)); entry(259, 3, 1)(_.putShort(5)) // LZW
+    entry(262, 3, 1)(_.putShort(1)); entry(273, 4, 1)(_.putInt(stripOff))
+    entry(277, 3, 1)(_.putShort(1)); entry(278, 4, 1)(_.putInt(h))
+    entry(279, 4, 1)(_.putInt(strip.length)); entry(339, 3, 1)(_.putShort(3))
+    entry(33550, 12, 3)(_.putInt(scaleOff)); entry(33922, 12, 6)(_.putInt(tieOff))
+    buf.putInt(0)
+    val bytes = buf.array()
+
+    // our reader
+    val r = GeoTiff.parse(bytes, "lzw")
+    for (x <- 0 until w; row <- 0 until h)
+      assert(r.bands.head(x * h + (h - 1 - row)) == vals(row * w + x).toDouble, s"($x,$row)")
+    // the JDK's independent LZW implementation agrees
+    val f = tmp(".tif")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("TIFF")
+    val reader = readers.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(f))
+    val img = reader.read(0).getRaster
+    for (row <- 0 until h; x <- 0 until w)
+      assert(img.getSampleFloat(x, row, 0) == vals(row * w + x), s"jdk ($x,$row)")
+    reader.dispose()
+  }
+
   test("truncated DEFLATE data fails instead of hanging") {
     val r = mkRaster(4326)
     val f = tmp(".tif")
