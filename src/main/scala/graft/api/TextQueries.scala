@@ -219,32 +219,59 @@ object TextQueries {
     // LOGGED) before the self-join: one stop-bucket is otherwise O(n^2).
     "q37_jaccard_neardup" -> { (s, dir) =>
       import s.implicits._
-      // localCheckpoint: the self-join and the two refine joins would each
-      // recompute the md5 signature pipeline otherwise (doc count is the
-      // SMALL side here — pairs outnumber docs by ~1000x)
-      // tsets sorted ONCE per doc so the refine uses the allocation-free
-      // merge-walk Jaccard expression (graft_jaccard) per candidate pair
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", sort_array(array_distinct(split($"text", " "))).as("tset"))
-        .localCheckpoint(true)
-      val bandSigs = (0 until 4).map { band =>
-        val mh = transform($"tset", t => md5(concat(lit(s"$band|"), t)))
-        struct(lit(band).as("band"),
-               concat((0 until 6).map(j =>
-                 array_min(transform(mh, h => substring(h, j * 4 + 1, 4)))): _*).as("sig"))
-      }
-      val sigs = docs.select($"doc_id", explode(array(bandSigs: _*)).as("bs"))
-        .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
-        .localCheckpoint(true)
-      val cand = cappedBucketPairs(sigs, Seq("band", "sig"), NeardupBucketCap, "q37")
-      cand
-        .join(docs.select($"doc_id".as("doc_a"), $"tset".as("ta")), "doc_a")
-        .join(docs.select($"doc_id".as("doc_b"), $"tset".as("tb")), "doc_b")
-        .withColumn("jac", graft.functions.GraftFunctions.jaccard_sorted($"ta", $"tb"))
-        .filter($"jac" >= 0.9)
-        .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
+      neardupPairs(s, dir).orderBy($"doc_a", $"doc_b")
+    },
+
+    // Near-dup CLUSTERS: the q37 pair graph closed into connected components
+    // (graft.operators.ConnectedComponents — min-label + pointer jumping,
+    // log-round distributed), one keeper per cluster = the min doc_id. This
+    // is the step that turns pair emission into an actual dedup decision at
+    // corpus scale; the oracle replays the component labels with a DuckDB
+    // recursive CTE (algorithm-independent: labels are component minima).
+    "q76_neardup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = neardupPairs(s, dir).select($"doc_a", $"doc_b")
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+      s.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_keeper", $"doc_id" === $"cluster_id")
+        .orderBy($"doc_id")
     })
+
+  /** The q37 near-dup pair pipeline (MinHash b=4 x r=6 banding, capped
+    * buckets, exact sorted-merge Jaccard refine at >= 0.9), shared by q37
+    * (pairs) and q76 (connected-component clusters). */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // localCheckpoint: the self-join and the two refine joins would each
+    // recompute the md5 signature pipeline otherwise (doc count is the
+    // SMALL side here — pairs outnumber docs by ~1000x)
+    // tsets sorted ONCE per doc so the refine uses the allocation-free
+    // merge-walk Jaccard expression (graft_jaccard) per candidate pair
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", sort_array(array_distinct(split($"text", " "))).as("tset"))
+      .localCheckpoint(true)
+    val bandSigs = (0 until 4).map { band =>
+      val mh = transform($"tset", t => md5(concat(lit(s"$band|"), t)))
+      struct(lit(band).as("band"),
+             concat((0 until 6).map(j =>
+               array_min(transform(mh, h => substring(h, j * 4 + 1, 4)))): _*).as("sig"))
+    }
+    val sigs = docs.select($"doc_id", explode(array(bandSigs: _*)).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+      .localCheckpoint(true)
+    val cand = cappedBucketPairs(sigs, Seq("band", "sig"), NeardupBucketCap, "q37")
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"tset".as("ta")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"tset".as("tb")), "doc_b")
+      .withColumn("jac", graft.functions.GraftFunctions.jaccard_sorted($"ta", $"tb"))
+      .filter($"jac" >= 0.9)
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -359,31 +386,54 @@ object TextQueries {
          |FROM votes ORDER BY doc_id""".stripMargin,
 
     "q37_jaccard_neardup" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents),
-         |mh AS (
-         |  SELECT doc_id, band,
-         |         list_transform(tset, t -> md5(CAST(band AS VARCHAR) || '|' || t)) AS mh
-         |  FROM d, generate_series(0, 3) b(band)),
-         |sigs AS (
-         |  SELECT doc_id, band,
-         |         concat(${(0 until 6).map(j =>
-               s"list_min(list_transform(mh, h -> substr(h, ${j * 4 + 1}, 4)))").mkString(",\n         ")}) AS sig
-         |  FROM mh),
-         |capped AS (
-         |  SELECT doc_id, band, sig FROM (
-         |    SELECT doc_id, band, sig,
-         |           COUNT(*) OVER (PARTITION BY band, sig) AS n_bucket
-         |    FROM sigs)
-         |  WHERE n_bucket <= $NeardupBucketCap),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |       ROUND(CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
-         |             / len(list_distinct(x.tset || y.tset)), 6) AS jaccard
-         |FROM cand c JOIN d x ON c.doc_a = x.doc_id JOIN d y ON c.doc_b = y.doc_id
-         |WHERE CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
-         |      / len(list_distinct(x.tset || y.tset)) >= 0.9
-         |ORDER BY doc_a, doc_b""".stripMargin)
+      s"""WITH $neardupCtes
+         |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q76_neardup_clusters" ->
+      s"""WITH RECURSIVE $neardupCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+         |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |       (doc_id = cluster_id) AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin)
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jac)` — the q37
+    * near-dup pair replay (signatures, bucket cap, exact Jaccard), shared
+    * by the q37 and q76 oracles. */
+  private def neardupCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset FROM documents),
+       |mh AS (
+       |  SELECT doc_id, band,
+       |         list_transform(tset, t -> md5(CAST(band AS VARCHAR) || '|' || t)) AS mh
+       |  FROM d, generate_series(0, 3) b(band)),
+       |sigs AS (
+       |  SELECT doc_id, band,
+       |         concat(${(0 until 6).map(j =>
+             s"list_min(list_transform(mh, h -> substr(h, ${j * 4 + 1}, 4)))").mkString(",\n         ")}) AS sig
+       |  FROM mh),
+       |capped AS (
+       |  SELECT doc_id, band, sig FROM (
+       |    SELECT doc_id, band, sig,
+       |           COUNT(*) OVER (PARTITION BY band, sig) AS n_bucket
+       |    FROM sigs)
+       |  WHERE n_bucket <= $NeardupBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
+       |           / len(list_distinct(x.tset || y.tset)) AS jac
+       |  FROM cand c JOIN d x ON c.doc_a = x.doc_id JOIN d y ON c.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.tset, y.tset)) AS DOUBLE)
+       |        / len(list_distinct(x.tset || y.tset)) >= 0.9)""".stripMargin
 }
