@@ -82,6 +82,30 @@ object TerrainQueries {
       val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
       tilesToRows(s, Focal.slope(terrain, region, maxCells = MaxCells), "slope")
         .orderBy($"cx", $"cy")
+    },
+
+    // Aspect octant + analytic hillshade (Focal.aspectHillshade): one halo
+    // exchange, two output bands. Octant = comparison-only classification
+    // of the downslope direction; hillshade = Lambertian dot product with
+    // the exact az-315/alt-45 light vector — both transcendental-free, so
+    // the oracle replay is bit-for-bit (see Focal.aspectHillshade docs).
+    "q77_aspect_hillshade" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
+      val r0 = region
+      Focal.aspectHillshade(terrain, r0, maxCells = MaxCells).flatMap { r =>
+        val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
+        val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
+        val oct = r.bands.head; val il = r.bands(1)
+        for (x <- 0 until r.width; y <- 0 until r.height) yield {
+          val i = x * r.height + y
+          (x0 + x.toLong, y0 + y.toLong,
+           if (java.lang.Double.isNaN(oct(i))) None else Some(oct(i).toLong),
+           if (java.lang.Double.isNaN(il(i))) None else Some(il(i)))
+        }
+      }.toDF("cx", "cy", "octant", "illum")
+        .orderBy($"cx", $"cy")
     })
 
   val oracle: Map[String, String] = Map(
@@ -104,5 +128,39 @@ object TerrainQueries {
          |LEFT JOIN terrain n ON n.cx = c.cx AND n.cy = c.cy + 1
          |LEFT JOIN terrain s ON s.cx = c.cx AND s.cy = c.cy - 1
          |ORDER BY c.cx, c.cy""".stripMargin
+    },
+
+    "q77_aspect_hillshade" -> {
+      val dx2 = 2.0 * region.cellWidth
+      val dy2 = 2.0 * region.cellHeight
+      val lz = math.sqrt(0.5)
+      // p/q mirror Focal.aspectHillshade exactly; octant branches replicate
+      // the Scala if-chain on (a, b) = (-p, -q) rewritten in p/q terms:
+      // a >= b <=> -p >= -q ; -a < b <=> p < -q ; -a >= -b <=> p >= q ;
+      // a < -b <=> -p < q. All comparisons on identical double bits.
+      s"""WITH $terrainCte,
+         |pq AS (
+         |  SELECT c.cx, c.cy,
+         |         CASE WHEN c.cx > 0 AND c.cx < ${W - 1} AND c.cy > 0 AND c.cy < ${H - 1}
+         |              THEN (e.elev - w.elev) / CAST('$dx2' AS DOUBLE) END AS p,
+         |         CASE WHEN c.cx > 0 AND c.cx < ${W - 1} AND c.cy > 0 AND c.cy < ${H - 1}
+         |              THEN (n.elev - s.elev) / CAST('$dy2' AS DOUBLE) END AS q
+         |  FROM terrain c
+         |  LEFT JOIN terrain e ON e.cx = c.cx + 1 AND e.cy = c.cy
+         |  LEFT JOIN terrain w ON w.cx = c.cx - 1 AND w.cy = c.cy
+         |  LEFT JOIN terrain n ON n.cx = c.cx AND n.cy = c.cy + 1
+         |  LEFT JOIN terrain s ON s.cx = c.cx AND s.cy = c.cy - 1)
+         |SELECT cx, cy,
+         |       CAST(CASE
+         |         WHEN p IS NULL OR q IS NULL THEN NULL
+         |         WHEN -p = 0.0 AND -q = 0.0 THEN 0
+         |         WHEN -p >= 0 AND -q >= 0 THEN (CASE WHEN -p >= -q THEN 1 ELSE 2 END)
+         |         WHEN -p < 0 AND -q >= 0 THEN (CASE WHEN p < -q THEN 3 ELSE 4 END)
+         |         WHEN -p < 0 AND -q < 0 THEN (CASE WHEN p >= q THEN 5 ELSE 6 END)
+         |         ELSE (CASE WHEN -p < q THEN 7 ELSE 8 END) END AS BIGINT) AS octant,
+         |       CASE WHEN p IS NOT NULL AND q IS NOT NULL
+         |            THEN (0.5 * p - 0.5 * q + CAST('$lz' AS DOUBLE))
+         |                 / sqrt(1.0 + p * p + q * q) END AS illum
+         |FROM pq ORDER BY cx, cy""".stripMargin
     })
 }

@@ -33,13 +33,69 @@ object Focal {
    */
   def slope(tiles: Dataset[Raster], region: TileGeometry,
             maxCells: Long = 1000000L): Dataset[Raster] = {
+    val dx2 = 2.0 * region.cellWidth
+    val dy2 = 2.0 * region.cellHeight
+    focal4(tiles, region, maxCells, "slope", 1) { (e, wv, n, s, out, i) =>
+      val p = (e - wv) / dx2
+      val q = (n - s) / dy2
+      out(0)(i) = math.sqrt(p * p + q * q) // NaN propagates from any missing neighbor
+    }
+  }
+
+  /**
+   * Aspect octant + analytic hillshade in one halo-exchange pass.
+   *
+   * Band 0 — octant of the DOWNSLOPE direction (-p, -q): 0 = flat,
+   * 1..8 = half-quadrant sectors counted CCW from east, boundaries on the
+   * 0/45/90... degree lines so classification is pure sign/magnitude
+   * comparisons (bit-exact in any engine — no atan2, whose last-ulp
+   * behavior differs between libm implementations).
+   *
+   * Band 1 — Lambertian illumination (l . n) with the conventional sun at
+   * azimuth 315 / altitude 45 degrees, where those angles make the light
+   * vector EXACT: l = (-1/2, 1/2, sqrt(1/2)), so
+   * illum = (p/2 - q/2 + sqrt(0.5)) / sqrt(1 + p^2 + q^2) uses only
+   * correctly-rounded IEEE ops (replayable bit-for-bit by the oracle).
+   * Unclamped: negative = self-shadowed (the caller's ramp clamps).
+   */
+  def aspectHillshade(tiles: Dataset[Raster], region: TileGeometry,
+                      maxCells: Long = 1000000L): Dataset[Raster] = {
+    val dx2 = 2.0 * region.cellWidth
+    val dy2 = 2.0 * region.cellHeight
+    val lz = math.sqrt(0.5)
+    focal4(tiles, region, maxCells, "aspect", 2) { (e, wv, n, s, out, i) =>
+      val p = (e - wv) / dx2
+      val q = (n - s) / dy2
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isNaN(q)) {
+        out(0)(i) = Double.NaN; out(1)(i) = Double.NaN
+      } else {
+        val a = -p; val b = -q
+        out(0)(i) =
+          if (a == 0.0 && b == 0.0) 0.0
+          else if (a >= 0 && b >= 0) { if (a >= b) 1.0 else 2.0 }
+          else if (a < 0 && b >= 0)  { if (-a < b) 3.0 else 4.0 }
+          else if (a < 0 && b < 0)   { if (-a >= -b) 5.0 else 6.0 }
+          else                       { if (a < -b) 7.0 else 8.0 }
+        out(1)(i) = (0.5 * p - 0.5 * q + lz) / math.sqrt(1.0 + p * p + q * q)
+      }
+    }
+  }
+
+  /**
+   * Generic 4-neighborhood focal operator: one distributed halo exchange
+   * (each tile ships 1-cell border strips to its 4 neighbors), then
+   * `kernel(E, W, N, S, out, cellIdx)` fills `nBands` output bands per
+   * cell. Neighbors outside the region (or never received) are NaN.
+   */
+  def focal4(tiles: Dataset[Raster], region: TileGeometry,
+             maxCells: Long, namePrefix: String, nBands: Int)
+            (kernel: (Double, Double, Double, Double, Array[Array[Double]], Int) => Unit)
+      : Dataset[Raster] = {
     val spark = tiles.sparkSession
     import spark.implicits._
 
     val layout = Mosaic.splitTilesWithOffsets(region, maxCells).toArray
     val layoutB = spark.sparkContext.broadcast(layout)
-    val dx2 = 2.0 * region.cellWidth
-    val dy2 = 2.0 * region.cellHeight
     // the layout is a regular tx-major grid (idx = tx*ny + ty, side-sized
     // tiles except the last row/column) — neighbor indices are O(1)
     // arithmetic, never a layout scan (10^6 tiles at the 10^12-cell design
@@ -89,21 +145,20 @@ object Focal {
           i += 1
         }
       }
-      val out = new Array[Double](w * h)
+      val out = Array.fill(nBands)(new Array[Double](w * h))
       var x = 0
       while (x < w) {
         var y = 0
         while (y < h) {
           val e = pad(pidx(x0 + x + 1, y0 + y)); val wv = pad(pidx(x0 + x - 1, y0 + y))
           val n = pad(pidx(x0 + x, y0 + y + 1)); val s = pad(pidx(x0 + x, y0 + y - 1))
-          val p = (e - wv) / dx2
-          val q = (n - s) / dy2
-          out(x * h + y) = math.sqrt(p * p + q * q) // NaN propagates from any missing neighbor
+          kernel(e, wv, n, s, out, x * h + y)
           y += 1
         }
         x += 1
       }
-      Raster(f"slope-$idx%04d", 0L, w, h, t.minX, t.maxX, t.minY, t.maxY, t.epsg, Seq(out))
+      Raster(f"$namePrefix-$idx%04d", 0L, w, h, t.minX, t.maxX, t.minY, t.maxY, t.epsg,
+             out.toSeq)
     }
   }
 

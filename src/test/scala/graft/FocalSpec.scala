@@ -85,4 +85,41 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((v.isNaN && w.isNaN) || v === w, s"$k: $v vs $w")
     }
   }
+
+  test("aspect octants + hillshade on analytic planes") {
+    import spark.implicits._
+    val region = TileGeometry(20, 20, 0, 20, 0, 20, 4326, 0, 0) // dx = dy = 1
+    // plane elev = c1*gx + c2*gy -> p = c1, q = c2 (central diff over 2 cells)
+    def run(c1: Double, c2: Double): (Long, Double) = {
+      val layout = Mosaic.splitTilesWithOffsets(region, maxCells = 120)
+      val tiles = spark.createDataset(layout.zipWithIndex.map { case ((t, x0, y0), i) =>
+        Raster(s"t$i", 0L, t.width, t.height, t.minX, t.maxX, t.minY, t.maxY, t.epsg,
+          Seq(Array.tabulate(t.width * t.height)(k =>
+            c1 * (x0 + k / t.height) + c2 * (y0 + k % t.height))))
+      })
+      val cells = Focal.aspectHillshade(tiles, region, maxCells = 120).collect()
+      // probe one interior cell
+      val r = cells.find(r => r.minX <= 10 && r.maxX > 10 && r.minY <= 10 && r.maxY > 10).get
+      val x = 10 - math.round((r.minX - region.minX)).toInt
+      val y = 10 - math.round((r.minY - region.minY)).toInt
+      val i = x * r.height + y
+      (r.bands.head(i).toLong, r.bands(1)(i))
+    }
+    // downslope = (-p, -q). Plane rising east (p=1): downslope west -> octant 4
+    assert(run(1.0, 0.0)._1 === 4L)
+    // rising north (q=1): downslope south -> sector 6 (a=0 -> else-branch? no:
+    // a=0,b=-1: a>=0 && b<0 -> else branch: a < -b (0 < 1) -> 7)
+    assert(run(0.0, 1.0)._1 === 7L)
+    // rising west (p=-1): downslope east -> octant 1
+    assert(run(-1.0, 0.0)._1 === 1L)
+    // rising south (q=-1): downslope north -> a=0,b=1 -> first branch, a>=b false -> 2
+    assert(run(0.0, -1.0)._1 === 2L)
+    // flat plane -> octant 0, illum = sqrt(0.5) (n = (0,0,1), l_z = sqrt(.5))
+    val (oct, il) = run(0.0, 0.0)
+    assert(oct === 0L && il === math.sqrt(0.5))
+    // NW-facing slope (rising SE: p=1, q=-1): faces the az-315 sun head-on ->
+    // illum = (0.5 + 0.5 + sqrt(.5)) / sqrt(3) — the analytic maximum direction
+    val ilNw = run(1.0, -1.0)._2
+    assert(math.abs(ilNw - (1.0 + math.sqrt(0.5)) / math.sqrt(3.0)) < 1e-15)
+  }
 }
