@@ -106,6 +106,47 @@ object TerrainQueries {
         }
       }.toDF("cx", "cy", "octant", "illum")
         .orderBy($"cx", $"cy")
+    },
+
+    // Zonal statistics — the classic raster x vector reduction: terrain cell
+    // centroids PIP-joined (cell-cover prefilter + winding refine, zones
+    // broadcast) into GeoJSON polygon zones, then per-zone count/min/max and
+    // an exact-integer mean (elevations quantized to 1e-6 BIGINTs so the
+    // distributed SUM is order-independent and the oracle replays it
+    // bit-for-bit — double SUM order is nondeterministic across engines).
+    "q78_zonal_stats" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpatialJoin
+      import graft.sources.GeoJson
+      val cells = tilesToRows(s, Focal.terrainTiles(s, region, maxCells = MaxCells), "elev")
+        .withColumn("lon", lit(region.minX) + ($"cx" + 0.5) * lit(region.cellWidth))
+        .withColumn("lat", lit(region.minY) + ($"cy" + 0.5) * lit(region.cellHeight))
+      val zonesSrc = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", ($"k" % 5).cast("double") * 2.0)
+        .withColumn("y0", floor($"k" / 5.0).cast("double") * 1.6)
+        .withColumn("x1", $"x0" + 1.9)
+        .withColumn("y1", $"y0" + 1.5)
+      def d(c: org.apache.spark.sql.Column) = c.cast("string")
+      val feature = concat(
+        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+        d($"x0"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
+        .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
+        .filter($"ring".isNotNull)
+      SpatialJoin.pointsInZones(cells, zones, level = 12)
+        .groupBy($"zone_id")
+        .agg(count(lit(1)).as("n_cells"),
+             min($"elev").as("min_elev"), max($"elev").as("max_elev"),
+             sum(round($"elev" * 1000000.0, 0).cast("bigint")).as("sum_q"))
+        .select($"zone_id", $"n_cells", $"min_elev", $"max_elev", $"sum_q",
+                round(($"sum_q".cast("double") / 1000000.0) / $"n_cells", 6).as("mean_elev"))
+        .orderBy($"zone_id")
     })
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +203,34 @@ object TerrainQueries {
          |            THEN (0.5 * p - 0.5 * q + CAST('$lz' AS DOUBLE))
          |                 / sqrt(1.0 + p * p + q * q) END AS illum
          |FROM pq ORDER BY cx, cy""".stripMargin
+    },
+
+    "q78_zonal_stats" -> {
+      // zones are rect rings whose bounds replay the Spark arithmetic; cell
+      // centroids are never within float distance of a zone edge (centers on
+      // odd multiples of cellsize/2, edges on coarse multiples), so the
+      // winding refine and these range predicates classify identically
+      s"""WITH $terrainCte,
+         |z AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+         |         (CAST(n_nationkey AS BIGINT) % 5) * 2.0E0 AS x0,
+         |         FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 1.6E0 AS y0
+         |  FROM nation),
+         |c AS (
+         |  SELECT cx, cy, elev,
+         |         CAST('${region.minX}' AS DOUBLE)
+         |           + (cx + 0.5E0) * CAST('${region.cellWidth}' AS DOUBLE) AS lon,
+         |         CAST('${region.minY}' AS DOUBLE)
+         |           + (cy + 0.5E0) * CAST('${region.cellHeight}' AS DOUBLE) AS lat
+         |  FROM terrain)
+         |SELECT z.zone_id, COUNT(*) AS n_cells,
+         |       MIN(c.elev) AS min_elev, MAX(c.elev) AS max_elev,
+         |       CAST(SUM(CAST(ROUND(c.elev * 1000000.0E0, 0) AS BIGINT)) AS BIGINT) AS sum_q,
+         |       ROUND((CAST(SUM(CAST(ROUND(c.elev * 1000000.0E0, 0) AS BIGINT)) AS DOUBLE)
+         |              / 1000000.0E0) / COUNT(*), 6) AS mean_elev
+         |FROM c, z
+         |WHERE c.lon >= z.x0 AND c.lon <= z.x0 + 1.9E0
+         |  AND c.lat >= z.y0 AND c.lat <= z.y0 + 1.5E0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 }
