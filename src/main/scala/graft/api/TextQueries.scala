@@ -23,6 +23,13 @@ object TextQueries {
     * oracle as a COUNT(*) OVER (PARTITION BY band, sig) <= cap filter. */
   val NeardupBucketCap = 100
 
+  /** q49: a word 3-gram present in more than this many BENCHMARK documents
+    * is a stop-gram (boilerplate), dropped — with logged counts — before the
+    * contamination join, mirroring how production decontamination pipelines
+    * ignore ubiquitous n-grams. Replayed by the oracle as a frequency
+    * filter over the same distinct (bench_doc, gram) rows. */
+  val DecontamGramCap = 10
+
   private def cappedBucketPairs(sigs: DataFrame, bucketCols: Seq[String],
                                 cap: Int, tag: String): DataFrame =
     graft.operators.BucketedSelfJoin.pairs(sigs, bucketCols, "doc_id", cap, tag)
@@ -222,6 +229,42 @@ object TextQueries {
       neardupPairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
 
+    // Decontamination — the training-data hygiene op: flag corpus documents
+    // sharing word 3-grams with a held-out benchmark set (docs with
+    // doc_id % 17 == 0 stand in for the benchmark; a real pipeline feeds
+    // eval-set documents). Stop-grams occurring in > DecontamGramCap bench
+    // docs are dropped (logged) so one boilerplate phrase can't fan a
+    // shuffle partition out to the whole corpus; the kept bench-gram table
+    // is tiny by construction and BROADCAST into the probe.
+    "q49_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", split($"text", " ").as("t"))
+      val grams = toks.select($"doc_id",
+        explode(when(size($"t") < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size($"t") - 2),
+            i => concat(element_at($"t", i), lit(" "),
+                        element_at($"t", i + 1), lit(" "),
+                        element_at($"t", i + 2))))).as("g"))
+        .distinct()
+        .localCheckpoint(true) // bench + corpus + totals all read it
+      val bench = grams.filter($"doc_id" % 17 === 0)
+        .select($"doc_id".as("bdoc"), $"g")
+      val kept = graft.operators.BucketedSelfJoin
+        .cappedByKey(bench, Seq("g"), DecontamGramCap, "q49")
+      val corp = grams.filter($"doc_id" % 17 =!= 0)
+      val tot = corp.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      corp.join(broadcast(kept), "g")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").as("n_hit_ngrams"),
+             countDistinct($"bdoc").as("n_bench_docs"))
+        .join(tot, "doc_id")
+        .select($"doc_id", $"n_hit_ngrams", $"n_bench_docs",
+                round($"n_hit_ngrams".cast("double") / $"n_grams", 6)
+                  .as("contaminated_frac"))
+        .orderBy($"doc_id")
+    },
+
     // Near-dup CLUSTERS: the q37 pair graph closed into connected components
     // (graft.operators.ConnectedComponents — min-label + pointer jumping,
     // log-round distributed), one keeper per cluster = the min doc_id. This
@@ -389,6 +432,28 @@ object TextQueries {
       s"""WITH $neardupCtes
          |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q49_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |gi AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t),
+         |ge AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM gi),
+         |bench AS (SELECT doc_id AS bdoc, g FROM ge WHERE doc_id % 17 = 0),
+         |freq AS (SELECT g, COUNT(*) AS nb FROM bench GROUP BY 1),
+         |kept AS (
+         |  SELECT b.bdoc, b.g FROM bench b JOIN freq f ON b.g = f.g
+         |  WHERE f.nb <= $DecontamGramCap),
+         |corp AS (SELECT doc_id, g FROM ge WHERE doc_id % 17 <> 0),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY 1),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hit_ngrams,
+         |         COUNT(DISTINCT k.bdoc) AS n_bench_docs
+         |  FROM corp c JOIN kept k ON c.g = k.g GROUP BY 1)
+         |SELECT h.doc_id, h.n_hit_ngrams, h.n_bench_docs,
+         |       ROUND(CAST(h.n_hit_ngrams AS DOUBLE) / t2.n_grams, 6) AS contaminated_frac
+         |FROM hits h JOIN tot t2 ON h.doc_id = t2.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
 
     "q76_neardup_clusters" ->
       s"""WITH RECURSIVE $neardupCtes,

@@ -54,25 +54,36 @@ object BucketedSelfJoin {
     }
 
   /**
-   * Pairs (id_a < id_b) of `idCol` values sharing all `bucketCols`, from
-   * buckets of size <= cap only. Output columns: doc_a, doc_b (distinct).
+   * Rows whose `keyCols` group has size <= cap; oversized groups (stop
+   * signatures, stop n-grams) are dropped entirely, with the drop LOGGED
+   * lazily through the observe()/listener machinery above. Shared by the
+   * pair generator below and any keyed cap (e.g. q49's stop-gram drop).
    */
-  def pairs(sigs: DataFrame, bucketCols: Seq[String], idCol: String,
-            cap: Int, tag: String): DataFrame = {
-    ensureListener(sigs.sparkSession)
-    val keys = bucketCols.map(col)
-    val oversized = sigs.groupBy(keys: _*).agg(count(lit(1)).as("n_bucket"))
+  def cappedByKey(rows: DataFrame, keyCols: Seq[String], cap: Int,
+                  tag: String): DataFrame = {
+    ensureListener(rows.sparkSession)
+    val keys = keyCols.map(col)
+    val oversized = rows.groupBy(keys: _*).agg(count(lit(1)).as("n_bucket"))
       .filter(col("n_bucket") > cap)
     // left join against the (tiny, broadcast) oversized set: n_bucket is
     // non-null exactly on dropped rows, so the observation can count both
     // rows (sum of 1) and buckets (sum of 1/n_bucket — integral by
     // construction) without a separate driver-side job
-    val flagged = sigs.join(broadcast(oversized), bucketCols, "left")
+    val flagged = rows.join(broadcast(oversized), keyCols, "left")
       .observe(s"graft_bucket_cap_${tag}_${obsCounter.incrementAndGet()}",
         sum(when(col("n_bucket").isNotNull, 1L).otherwise(0L)).as("n_rows_dropped"),
         coalesce(sum(when(col("n_bucket").isNotNull,
           lit(1.0) / col("n_bucket"))), lit(0.0)).as("n_buckets_dropped"))
-    val kept = flagged.filter(col("n_bucket").isNull).drop("n_bucket")
+    flagged.filter(col("n_bucket").isNull).drop("n_bucket")
+  }
+
+  /**
+   * Pairs (id_a < id_b) of `idCol` values sharing all `bucketCols`, from
+   * buckets of size <= cap only. Output columns: doc_a, doc_b (distinct).
+   */
+  def pairs(sigs: DataFrame, bucketCols: Seq[String], idCol: String,
+            cap: Int, tag: String): DataFrame = {
+    val kept = cappedByKey(sigs, bucketCols, cap, tag)
     kept.as("a").join(kept.as("b"), bucketCols)
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
