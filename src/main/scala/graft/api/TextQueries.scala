@@ -274,7 +274,8 @@ object TextQueries {
     "q76_neardup_clusters" -> { (s, dir) =>
       import s.implicits._
       val pairs = neardupPairs(s, dir).select($"doc_a", $"doc_b")
-      val comp = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+      val comp = graft.operators.ConnectedComponents
+        .minLabel(pairs, "doc_a", "doc_b", edgesDistinct = true)
         .withColumnRenamed("id", "doc_id")
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
       s.read.parquet(s"$dir/documents.parquet").select($"doc_id")

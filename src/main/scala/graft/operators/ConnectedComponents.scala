@@ -43,12 +43,15 @@ object ConnectedComponents {
    *         (coalesce(lbl, id) after a left join).
    */
   def minLabel(edges: DataFrame, aCol: String, bCol: String,
-               maxRounds: Int = 64): DataFrame = {
+               maxRounds: Int = 64, edgesDistinct: Boolean = false): DataFrame = {
     val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v")).na.drop()
-    // symmetric, deduplicated edge list — reused verbatim every round
-    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // symmetric, deduplicated edge list — reused verbatim every round.
+    // edgesDistinct: the caller guarantees distinct oriented pairs (a < b),
+    // making the symmetrized union distinct by construction — skips a full
+    // shuffle of the edge list (LSH pair generators already emit this shape)
+    val symRaw = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
       .localCheckpoint(true)
 
     // round 0: lbl(v) = min(v, neighbors(v))
@@ -67,13 +70,16 @@ object ConnectedComponents {
                 least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("l1"))
       // (b) pointer jump: follow the adopted label one hop through the
       // CURRENT label table (labels are ids, so lbl(l1) is defined)
+      // LAZY checkpoint + count in one job: the count is the first consumer,
+      // so it materializes the checkpointed RDD and measures convergence in
+      // a single action per round (an eager checkpoint + isEmpty would be two)
       val next = prop
         .join(lbl.select(col("id").as("jid"), col("lbl").as("jl")),
               col("l1") === col("jid"), "left")
         .select(col("id"), col("old"),
                 least(col("l1"), coalesce(col("jl"), col("l1"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.filter(col("lbl") < col("old")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("lbl") < col("old")).count() == 0L
       lbl = next.select(col("id"), col("lbl"))
       round += 1
     }
