@@ -229,6 +229,70 @@ object TextQueries {
       neardupPairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
 
+    // Mixture balancing — deterministic downsampling of over-represented
+    // sources to the per-source mean (the "data mixture" step of a training
+    // pipeline). Keep criterion is PURE INTEGER arithmetic:
+    //   keep <=> hash(doc) * n_s * k < N * 65536   (<=> hash/65536 < rate)
+    // with hash a 16-bit multiplicative mix of (doc_id, source) — no floats,
+    // no hex parsing, so the oracle replay is trivially exact and the
+    // decision is reproducible shard-by-shard at any scale (resharding the
+    // corpus can never change which documents survive). The per-source rate
+    // table is k rows — broadcast into the probe; sources at or under the
+    // mean keep everything (rate >= 1 makes the inequality vacuous).
+    "q48_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"source", $"n_chars")
+      val stats = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n"), countDistinct($"source").as("k"))
+      val rates = stats.crossJoin(tot)
+      // doc_id reduced mod 2^20 BEFORE the multiply so the mix can never
+      // overflow BIGINT (DuckDB errors rather than wraps on overflow)
+      val hv = (($"doc_id" % 1048576L) * 2654435761L
+                  + ascii(substring($"source", 1, 1)) * 40503L) % 65536L
+      docs.join(broadcast(rates), "source")
+        .withColumn("hv", hv)
+        .filter($"hv" * $"n_s" * $"k" < $"n" * 65536L)
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_before"), count(lit(1)).as("n_kept"),
+             min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+             sum($"n_chars").as("sum_chars"))
+        .select($"source", $"n_before", $"n_kept",
+                round($"n_kept".cast("double") / $"n_before", 6).as("kept_frac"),
+                $"min_doc", $"max_doc", $"sum_chars")
+        .orderBy($"source")
+    },
+
+    // Repetition quality signals (the Gopher-style repetition filters):
+    // duplicate-token fraction and the mass of the single most frequent
+    // word 2-gram per document. Both are one explode + two-level hash
+    // aggregation — no joins wider than (doc_id), no per-doc state beyond
+    // the count map, so the shape holds at corpus scale.
+    "q52_repetition_stats" -> { (s, dir) =>
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", split($"text", " ").as("t"))
+        .localCheckpoint(true)
+      val base = toks.select($"doc_id", size($"t").as("n_tokens"),
+                             size(array_distinct($"t")).as("n_distinct"))
+      val bi = toks.select($"doc_id",
+          explode(when(size($"t") < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size($"t") - 1),
+              i => concat(element_at($"t", i), lit(" "), element_at($"t", i + 1))))).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+      base.join(bi, "doc_id")
+        .select($"doc_id", $"n_tokens".cast("bigint").as("n_tokens"),
+                round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 6)
+                  .as("dup_tok_frac"),
+                $"top_bigram_n",
+                round($"top_bigram_n".cast("double") / $"n_bigrams", 6)
+                  .as("top_bigram_frac"))
+        .withColumn("flagged",
+          $"dup_tok_frac" > 0.5 || $"top_bigram_frac" > 0.18)
+        .orderBy($"doc_id")
+    },
+
     // Decontamination — the training-data hygiene op: flag corpus documents
     // sharing word 3-grams with a held-out benchmark set (docs with
     // doc_id % 17 == 0 stand in for the benchmark; a real pipeline feeds
@@ -433,6 +497,42 @@ object TextQueries {
       s"""WITH $neardupCtes
          |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q48_mixture_sample" ->
+      """WITH stats AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS k FROM documents),
+        |kept AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, s.n_s
+        |  FROM documents d JOIN stats s ON d.source = s.source, tot
+        |  WHERE ((d.doc_id % 1048576) * 2654435761
+        |         + ascii(substr(d.source, 1, 1)) * 40503) % 65536
+        |        * s.n_s * tot.k < tot.n * 65536)
+        |SELECT source, MAX(n_s) AS n_before, COUNT(*) AS n_kept,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_s), 6) AS kept_frac,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct FROM t),
+        |gi AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t),
+        |bc AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g, COUNT(*) AS c
+        |  FROM gi GROUP BY 1, 2),
+        |bi AS (
+        |  SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+        |  FROM bc GROUP BY 1),
+        |j AS (
+        |  SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |         ROUND(1.0E0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_tok_frac,
+        |         bi.top_bigram_n,
+        |         ROUND(CAST(bi.top_bigram_n AS DOUBLE) / bi.n_bigrams, 6) AS top_bigram_frac
+        |  FROM base b JOIN bi ON b.doc_id = bi.doc_id)
+        |SELECT doc_id, n_tokens, dup_tok_frac, top_bigram_n, top_bigram_frac,
+        |       (dup_tok_frac > 0.5E0 OR top_bigram_frac > 0.18E0) AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q49_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
