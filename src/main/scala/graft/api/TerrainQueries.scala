@@ -52,6 +52,58 @@ object TerrainQueries {
        |  SELECT cx.cx, cy.cy, $elevationSql AS elev
        |  FROM generate_series(0, ${W - 1}) cx(cx), generate_series(0, ${H - 1}) cy(cy))""".stripMargin
 
+  /** The q79/q80 shared D8 flow-direction table (cx, cy, dir). */
+  private def flowDirRows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val r0 = region
+    val terrain = Focal.terrainTiles(s, r0, maxCells = MaxCells)
+    Focal.flowDir(terrain, r0, maxCells = MaxCells).flatMap { r =>
+      val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
+      val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
+      val b = r.bands.head
+      for (x <- 0 until r.width; y <- 0 until r.height) yield {
+        val v = b(x * r.height + y)
+        (x0 + x.toLong, y0 + y.toLong,
+         if (java.lang.Double.isNaN(v)) None else Some(v.toLong))
+      }
+    }.toDF("cx", "cy", "dir")
+  }
+
+  /** DuckDB CTE chain ending in `dirs(cx, cy, dir)` — the D8 replay shared
+    * by the q79 and q80 oracles. Distances and tie-breaks mirror
+    * Focal.flowDir exactly (same double bits, lowest code wins ties). */
+  private def flowDirCtes: String = {
+    val dw = region.cellWidth; val dh = region.cellHeight
+    val ddiag = math.sqrt(dw * dw + dh * dh)
+    def drop(a: String, dist: Double) = s"(c.elev - $a.elev) / CAST('$dist' AS DOUBLE)"
+    val g = "GREATEST(w1, w2, w3, w4, w5, w6, w7, w8)"
+    s"""$terrainCte,
+       |pq8 AS (
+       |  SELECT c.cx, c.cy,
+       |         ${drop("e", dw)} AS w1, ${drop("ne_", ddiag)} AS w2,
+       |         ${drop("n", dh)} AS w3, ${drop("nw_", ddiag)} AS w4,
+       |         ${drop("w", dw)} AS w5, ${drop("sw_", ddiag)} AS w6,
+       |         ${drop("s", dh)} AS w7, ${drop("se_", ddiag)} AS w8
+       |  FROM terrain c
+       |  LEFT JOIN terrain e   ON e.cx = c.cx + 1 AND e.cy = c.cy
+       |  LEFT JOIN terrain ne_ ON ne_.cx = c.cx + 1 AND ne_.cy = c.cy + 1
+       |  LEFT JOIN terrain n   ON n.cx = c.cx AND n.cy = c.cy + 1
+       |  LEFT JOIN terrain nw_ ON nw_.cx = c.cx - 1 AND nw_.cy = c.cy + 1
+       |  LEFT JOIN terrain w   ON w.cx = c.cx - 1 AND w.cy = c.cy
+       |  LEFT JOIN terrain sw_ ON sw_.cx = c.cx - 1 AND sw_.cy = c.cy - 1
+       |  LEFT JOIN terrain s   ON s.cx = c.cx AND s.cy = c.cy - 1
+       |  LEFT JOIN terrain se_ ON se_.cx = c.cx + 1 AND se_.cy = c.cy - 1),
+       |dirs AS (
+       |  SELECT cx, cy,
+       |         CASE WHEN cx = 0 OR cx = ${W - 1} OR cy = 0 OR cy = ${H - 1} THEN NULL
+       |              WHEN $g <= 0.0E0 THEN 0
+       |              WHEN w1 = $g THEN 1 WHEN w2 = $g THEN 2
+       |              WHEN w3 = $g THEN 3 WHEN w4 = $g THEN 4
+       |              WHEN w5 = $g THEN 5 WHEN w6 = $g THEN 6
+       |              WHEN w7 = $g THEN 7 ELSE 8 END AS dir
+       |  FROM pq8)""".stripMargin
+  }
+
   /** Flatten tiles back to (cx, cy, v) rows with region-global indices. */
   private def tilesToRows(s: SparkSession, tiles: org.apache.spark.sql.Dataset[graft.model.Raster],
                           col3: String): DataFrame = {
@@ -105,6 +157,39 @@ object TerrainQueries {
            if (java.lang.Double.isNaN(il(i))) None else Some(il(i)))
         }
       }.toDF("cx", "cy", "octant", "illum")
+        .orderBy($"cx", $"cy")
+    },
+
+    // D8 flow direction (Focal.flowDir): steepest positive drop over world
+    // distance among 8 neighbors (corner strips now ride the halo
+    // exchange), codes 1..8 CCW from east, 0 = pit, NULL on the border.
+    // Tie-break and arithmetic are comparison-exact in both engines.
+    "q79_flow_direction" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      flowDirRows(s).orderBy($"cx", $"cy")
+    },
+
+    // D8 flow accumulation: upstream-cell count per cell = the transitive
+    // closure of the (acyclic, out-degree-1) drainage graph grouped by
+    // target. The closure runs as O(log longest-path) repeated-squaring
+    // join rounds (graft.operators.FunctionalClosure) instead of
+    // longest-path sequential steps; the oracle replays it with a
+    // recursive CTE over the identical edge set.
+    "q80_flow_accumulation" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val dirs = flowDirRows(s).localCheckpoint(true)
+      val dxs = typedLit(Seq(1L, 1L, 0L, -1L, -1L, -1L, 0L, 1L)) // E..SE CCW
+      val dys = typedLit(Seq(0L, 1L, 1L, 1L, 0L, -1L, -1L, -1L))
+      val edges = dirs.filter($"dir" >= 1)
+        .select(($"cx" * H + $"cy").as("u"),
+                (($"cx" + element_at(dxs, $"dir".cast("int"))) * H
+                  + ($"cy" + element_at(dys, $"dir".cast("int")))).as("v"))
+      val acc = graft.operators.FunctionalClosure.ancestorPairs(edges, "u", "v")
+        .groupBy($"v").agg(count(lit(1)).as("n_up"))
+      dirs.join(acc, ($"cx" * H + $"cy") === $"v", "left")
+        .select($"cx", $"cy", coalesce($"n_up", lit(0L)).as("n_upstream"))
         .orderBy($"cx", $"cy")
     },
 
@@ -204,6 +289,31 @@ object TerrainQueries {
          |                 / sqrt(1.0 + p * p + q * q) END AS illum
          |FROM pq ORDER BY cx, cy""".stripMargin
     },
+
+    "q79_flow_direction" ->
+      s"""WITH $flowDirCtes
+         |SELECT cx, cy, CAST(dir AS BIGINT) AS dir FROM dirs
+         |ORDER BY cx, cy""".stripMargin,
+
+    "q80_flow_accumulation" ->
+      s"""WITH RECURSIVE $flowDirCtes,
+         |e AS (
+         |  SELECT cx * $H + cy AS u,
+         |         (cx + CASE dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 0
+         |                        WHEN 4 THEN -1 WHEN 5 THEN -1 WHEN 6 THEN -1
+         |                        WHEN 7 THEN 0 ELSE 1 END) * $H
+         |         + (cy + CASE dir WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1
+         |                          WHEN 4 THEN 1 WHEN 5 THEN 0 WHEN 6 THEN -1
+         |                          WHEN 7 THEN -1 ELSE -1 END) AS v
+         |  FROM dirs WHERE dir >= 1),
+         |reach AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v),
+         |acc AS (SELECT v, COUNT(*) AS n_up FROM reach GROUP BY 1)
+         |SELECT d.cx, d.cy, CAST(COALESCE(a.n_up, 0) AS BIGINT) AS n_upstream
+         |FROM dirs d LEFT JOIN acc a ON d.cx * $H + d.cy = a.v
+         |ORDER BY d.cx, d.cy""".stripMargin,
 
     "q78_zonal_stats" -> {
       // zones are rect rings whose bounds replay the Spark arithmetic; cell

@@ -82,6 +82,49 @@ object Focal {
   }
 
   /**
+   * D8 flow direction (HortonMachine FlowDirections semantics): per cell,
+   * the steepest positive elevation-over-distance drop among the 8
+   * neighbors, distances in WORLD units (dx / dy cardinal, their hypotenuse
+   * diagonal). Output codes 1..8 = E, NE, N, NW, W, SW, S, SE (CCW from
+   * east), 0 = pit (no positive drop), NaN on the region border. Ties go
+   * to the LOWEST code — a fixed rule both engines replay exactly (the
+   * comparisons are on identical double bits, so no epsilon is needed).
+   * Steepest-descent edges strictly decrease elevation, so the resulting
+   * drainage graph is acyclic by construction (what flow accumulation's
+   * closure relies on).
+   */
+  def flowDir(tiles: Dataset[Raster], region: TileGeometry,
+              maxCells: Long = 1000000L): Dataset[Raster] = {
+    val dw = region.cellWidth; val dh = region.cellHeight
+    val ddiag = math.sqrt(dw * dw + dh * dh)
+    focalPad(tiles, region, maxCells, corners = true, "flowdir", 1) { (pad, w, h, out) =>
+      val s2 = h + 2
+      @inline def p(lx: Int, ly: Int) = pad((lx + 1) * s2 + (ly + 1))
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val c = p(x, y)
+          // E, NE, N, NW, W, SW, S, SE visited in code order so ties keep
+          // the lowest code; allocation-free (the 10^12-cell inner loop)
+          var nan = java.lang.Double.isNaN(c)
+          var best = 0.0; var dir = 0
+          @inline def consider(n: Double, d: Double, k: Int): Unit =
+            if (java.lang.Double.isNaN(n)) nan = true
+            else { val wk = (c - n) / d; if (wk > best) { best = wk; dir = k } }
+          consider(p(x + 1, y), dw, 1); consider(p(x + 1, y + 1), ddiag, 2)
+          consider(p(x, y + 1), dh, 3); consider(p(x - 1, y + 1), ddiag, 4)
+          consider(p(x - 1, y), dw, 5); consider(p(x - 1, y - 1), ddiag, 6)
+          consider(p(x, y - 1), dh, 7); consider(p(x + 1, y - 1), ddiag, 8)
+          out(0)(x * h + y) = if (nan) Double.NaN else dir.toDouble
+          y += 1
+        }
+        x += 1
+      }
+    }
+  }
+
+  /**
    * Generic 4-neighborhood focal operator: one distributed halo exchange
    * (each tile ships 1-cell border strips to its 4 neighbors), then
    * `kernel(E, W, N, S, out, cellIdx)` fills `nBands` output bands per
@@ -90,6 +133,32 @@ object Focal {
   def focal4(tiles: Dataset[Raster], region: TileGeometry,
              maxCells: Long, namePrefix: String, nBands: Int)
             (kernel: (Double, Double, Double, Double, Array[Array[Double]], Int) => Unit)
+      : Dataset[Raster] =
+    focalPad(tiles, region, maxCells, corners = false, namePrefix, nBands) { (pad, w, h, out) =>
+      val s2 = h + 2
+      @inline def p(lx: Int, ly: Int) = pad((lx + 1) * s2 + (ly + 1))
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          kernel(p(x + 1, y), p(x - 1, y), p(x, y + 1), p(x, y - 1), out, x * h + y)
+          y += 1
+        }
+        x += 1
+      }
+    }
+
+  /**
+   * The halo-exchange core: each tile keeps itself and ships 1-cell border
+   * strips to its 4 edge neighbors (plus 1x1 corner cells to its 4 diagonal
+   * neighbors when `corners` — 8-neighborhood kernels need them); the
+   * kernel receives the assembled (w+2)x(h+2) NaN-padded window
+   * (column-major, cell (x, y) at (x+1)*(h+2)+(y+1)) and fills `nBands`
+   * outputs for the tile's own w*h cells.
+   */
+  def focalPad(tiles: Dataset[Raster], region: TileGeometry,
+               maxCells: Long, corners: Boolean, namePrefix: String, nBands: Int)
+              (kernel: (Array[Double], Int, Int, Array[Array[Double]]) => Unit)
       : Dataset[Raster] = {
     val spark = tiles.sparkSession
     import spark.implicits._
@@ -123,6 +192,17 @@ object Focal {
       if (tx > 0)      out += (idx - ny) -> FocalStrip(idx - ny, x0, y0, 1, h, colStrip(0))
       if (ty + 1 < ny) out += (idx + 1)  -> FocalStrip(idx + 1, x0, y0 + h - 1, w, 1, rowStrip(h - 1))
       if (ty > 0)      out += (idx - 1)  -> FocalStrip(idx - 1, x0, y0, w, 1, rowStrip(0))
+      if (corners) {
+        def cell(cx: Int, cy: Int) = Array(vals(cx * h + cy))
+        if (tx + 1 < nx && ty + 1 < ny)
+          out += (idx + ny + 1) -> FocalStrip(idx + ny + 1, x0 + w - 1, y0 + h - 1, 1, 1, cell(w - 1, h - 1))
+        if (tx + 1 < nx && ty > 0)
+          out += (idx + ny - 1) -> FocalStrip(idx + ny - 1, x0 + w - 1, y0, 1, 1, cell(w - 1, 0))
+        if (tx > 0 && ty + 1 < ny)
+          out += (idx - ny + 1) -> FocalStrip(idx - ny + 1, x0, y0 + h - 1, 1, 1, cell(0, h - 1))
+        if (tx > 0 && ty > 0)
+          out += (idx - ny - 1) -> FocalStrip(idx - ny - 1, x0, y0, 1, 1, cell(0, 0))
+      }
       out.result()
     }
 
@@ -146,17 +226,7 @@ object Focal {
         }
       }
       val out = Array.fill(nBands)(new Array[Double](w * h))
-      var x = 0
-      while (x < w) {
-        var y = 0
-        while (y < h) {
-          val e = pad(pidx(x0 + x + 1, y0 + y)); val wv = pad(pidx(x0 + x - 1, y0 + y))
-          val n = pad(pidx(x0 + x, y0 + y + 1)); val s = pad(pidx(x0 + x, y0 + y - 1))
-          kernel(e, wv, n, s, out, x * h + y)
-          y += 1
-        }
-        x += 1
-      }
+      kernel(pad, w, h, out)
       Raster(f"$namePrefix-$idx%04d", 0L, w, h, t.minX, t.maxX, t.minY, t.maxY, t.epsg,
              out.toSeq)
     }

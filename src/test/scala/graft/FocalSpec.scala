@@ -122,4 +122,41 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ilNw = run(1.0, -1.0)._2
     assert(math.abs(ilNw - (1.0 + math.sqrt(0.5)) / math.sqrt(3.0)) < 1e-15)
   }
+
+  test("D8 flow direction: analytic planes, pit, border, split-transparent") {
+    import spark.implicits._
+    val region = TileGeometry(20, 20, 0, 20, 0, 20, 4326, 0, 0)
+    def run(maxCells: Long)(elev: (Int, Int) => Double): Map[(Int, Int), Double] = {
+      val layout = Mosaic.splitTilesWithOffsets(region, maxCells)
+      val tiles = spark.createDataset(layout.zipWithIndex.map { case ((t, x0, y0), i) =>
+        Raster(s"t$i", 0L, t.width, t.height, t.minX, t.maxX, t.minY, t.maxY, t.epsg,
+          Seq(Array.tabulate(t.width * t.height)(k =>
+            elev(x0 + k / t.height, y0 + k % t.height))))
+      })
+      Focal.flowDir(tiles, region, maxCells = maxCells).collect().flatMap { r =>
+        val x0 = math.round(r.minX - region.minX).toInt
+        val y0 = math.round(r.minY - region.minY).toInt
+        for (x <- 0 until r.width; y <- 0 until r.height)
+          yield ((x0 + x, y0 + y), r.bands.head(x * r.height + y))
+      }.toMap
+    }
+    // rising NE (x + y): steepest descent is SW (diagonal beats cardinals)
+    val ne = run(120)((x, y) => (x + y).toDouble)
+    assert(ne((10, 10)) === 6.0)
+    assert(ne((0, 5)).isNaN && ne((19, 5)).isNaN && ne((5, 0)).isNaN) // border
+    // rising east (x): due west
+    assert(run(120)((x, _) => x.toDouble)((10, 10)) === 5.0)
+    // bowl centered at (10, 10): the center is a pit (dir 0)
+    val bowl = run(120)((x, y) => ((x - 10) * (x - 10) + (y - 10) * (y - 10)).toDouble)
+    assert(bowl((10, 10)) === 0.0)
+    // flat plane: everything interior is a pit
+    assert(run(120)((_, _) => 7.0)((5, 5)) === 0.0)
+    // split transparency incl. CORNER strips: one tile == many tiles on
+    // rough terrain (diagonal neighbors cross tile corners)
+    def noisy(x: Int, y: Int) = Terrain.elevation(x, y, 20, 20)
+    val one = run(1000000)(noisy); val many = run(60)(noisy)
+    one.foreach { case (k, v) =>
+      assert((v.isNaN && many(k).isNaN) || v === many(k), s"$k: $v vs ${many(k)}")
+    }
+  }
 }
