@@ -160,6 +160,29 @@ object TerrainQueries {
         .orderBy($"cx", $"cy")
     },
 
+    // Profile + planform curvature (Focal.curvatures): Evans second-order
+    // finite differences on the 3x3 window (corner strips via the halo
+    // exchange), 1.5-powers as x*sqrt(x) — all correctly-rounded IEEE ops,
+    // bit-replayed by the oracle. Flats and the border are NULL.
+    "q81_curvatures" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
+      val r0 = region
+      Focal.curvatures(terrain, r0, maxCells = MaxCells).flatMap { r =>
+        val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
+        val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
+        val pr = r.bands.head; val pl = r.bands(1)
+        for (x <- 0 until r.width; y <- 0 until r.height) yield {
+          val i = x * r.height + y
+          (x0 + x.toLong, y0 + y.toLong,
+           if (java.lang.Double.isNaN(pr(i))) None else Some(pr(i)),
+           if (java.lang.Double.isNaN(pl(i))) None else Some(pl(i)))
+        }
+      }.toDF("cx", "cy", "profile_curv", "plan_curv")
+        .orderBy($"cx", $"cy")
+    },
+
     // D8 flow direction (Focal.flowDir): steepest positive drop over world
     // distance among 8 neighbors (corner strips now ride the halo
     // exchange), codes 1..8 CCW from east, 0 = pit, NULL on the border.
@@ -294,6 +317,52 @@ object TerrainQueries {
       s"""WITH $flowDirCtes
          |SELECT cx, cy, CAST(dir AS BIGINT) AS dir FROM dirs
          |ORDER BY cx, cy""".stripMargin,
+
+    "q81_curvatures" -> {
+      val dx = region.cellWidth; val dy = region.cellHeight
+      val dx2 = dx * dx; val dy2 = dy * dy; val dxy4 = 4.0 * dx * dy
+      val tdx = 2.0 * dx; val tdy = 2.0 * dy
+      // every constant below is the Scala-computed double emitted verbatim,
+      // and every expression mirrors Focal.curvatures' evaluation order
+      s"""WITH $terrainCte,
+         |nb AS (
+         |  SELECT c.cx, c.cy, c.elev AS c,
+         |         e.elev AS e, w.elev AS w, n.elev AS n, s.elev AS s,
+         |         ne_.elev AS ne_, nw_.elev AS nw_, se_.elev AS se_, sw_.elev AS sw_
+         |  FROM terrain c
+         |  LEFT JOIN terrain e   ON e.cx = c.cx + 1 AND e.cy = c.cy
+         |  LEFT JOIN terrain w   ON w.cx = c.cx - 1 AND w.cy = c.cy
+         |  LEFT JOIN terrain n   ON n.cx = c.cx AND n.cy = c.cy + 1
+         |  LEFT JOIN terrain s   ON s.cx = c.cx AND s.cy = c.cy - 1
+         |  LEFT JOIN terrain ne_ ON ne_.cx = c.cx + 1 AND ne_.cy = c.cy + 1
+         |  LEFT JOIN terrain nw_ ON nw_.cx = c.cx - 1 AND nw_.cy = c.cy + 1
+         |  LEFT JOIN terrain se_ ON se_.cx = c.cx + 1 AND se_.cy = c.cy - 1
+         |  LEFT JOIN terrain sw_ ON sw_.cx = c.cx - 1 AND sw_.cy = c.cy - 1),
+         |d AS (
+         |  SELECT cx, cy,
+         |         (e - w) / CAST('$tdx' AS DOUBLE) AS p,
+         |         (n - s) / CAST('$tdy' AS DOUBLE) AS q,
+         |         (e - 2.0 * c + w) / CAST('$dx2' AS DOUBLE) AS zxx,
+         |         (n - 2.0 * c + s) / CAST('$dy2' AS DOUBLE) AS zyy,
+         |         (ne_ - nw_ - se_ + sw_) / CAST('$dxy4' AS DOUBLE) AS zxy
+         |  FROM nb
+         |  WHERE cx > 0 AND cx < ${W - 1} AND cy > 0 AND cy < ${H - 1}),
+         |cv AS (
+         |  SELECT cx, cy,
+         |         CASE WHEN (p * p + q * q) = 0.0E0 THEN NULL
+         |              ELSE (zxx * (p * p) + 2.0 * zxy * (p * q) + zyy * (q * q))
+         |                   / ((p * p + q * q)
+         |                      * ((1.0 + (p * p + q * q))
+         |                         * sqrt(1.0 + (p * p + q * q)))) END AS profile_curv,
+         |         CASE WHEN (p * p + q * q) = 0.0E0 THEN NULL
+         |              ELSE (zxx * (q * q) - 2.0 * zxy * (p * q) + zyy * (p * p))
+         |                   / ((p * p + q * q) * sqrt(p * p + q * q)) END AS plan_curv
+         |  FROM d)
+         |SELECT t.cx, t.cy, cv.profile_curv, cv.plan_curv
+         |FROM terrain t
+         |LEFT JOIN cv ON cv.cx = t.cx AND cv.cy = t.cy
+         |ORDER BY t.cx, t.cy""".stripMargin
+    },
 
     "q80_flow_accumulation" ->
       s"""WITH RECURSIVE $flowDirCtes,

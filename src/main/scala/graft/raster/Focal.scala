@@ -125,6 +125,61 @@ object Focal {
   }
 
   /**
+   * Profile and planform curvature (HortonMachine `curvatures` semantics,
+   * Evans second-order finite differences on the 3x3 window):
+   *   zxx = (E - 2C + W) / dx^2,  zyy = (N - 2C + S) / dy^2,
+   *   zxy = (NE - NW - SE + SW) / (4 dx dy),
+   *   profile = (zxx p^2 + 2 zxy p q + zyy q^2) / ((p^2+q^2) sqrt((1+p^2+q^2)^3)),
+   *   plan    = (zxx q^2 - 2 zxy p q + zyy p^2) / ((p^2+q^2)^1.5)
+   * with p, q the central-difference first derivatives. The 1.5 powers are
+   * evaluated as x * sqrt(x) in both engines — only correctly-rounded IEEE
+   * ops, so the oracle replays bit-for-bit. Flat
+   * cells (p = q = 0) and the region border are NaN (the formulas divide
+   * by the gradient magnitude).
+   */
+  def curvatures(tiles: Dataset[Raster], region: TileGeometry,
+                 maxCells: Long = 1000000L): Dataset[Raster] = {
+    val dx = region.cellWidth; val dy = region.cellHeight
+    val dx2 = dx * dx; val dy2 = dy * dy; val dxy4 = 4.0 * dx * dy
+    val tdx = 2.0 * dx; val tdy = 2.0 * dy
+    focalPad(tiles, region, maxCells, corners = true, "curv", 2) { (pad, w, h, out) =>
+      val s2 = h + 2
+      @inline def pv(lx: Int, ly: Int) = pad((lx + 1) * s2 + (ly + 1))
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val c = pv(x, y)
+          val e = pv(x + 1, y); val wv = pv(x - 1, y)
+          val n = pv(x, y + 1); val s = pv(x, y - 1)
+          val ne = pv(x + 1, y + 1); val nw = pv(x - 1, y + 1)
+          val se = pv(x + 1, y - 1); val sw = pv(x - 1, y - 1)
+          val p = (e - wv) / tdx
+          val q = (n - s) / tdy
+          val g2 = p * p + q * q
+          val i = x * h + y
+          if (g2 == 0.0 || java.lang.Double.isNaN(g2) || java.lang.Double.isNaN(c) ||
+              java.lang.Double.isNaN(ne) || java.lang.Double.isNaN(nw) ||
+              java.lang.Double.isNaN(se) || java.lang.Double.isNaN(sw)) {
+            out(0)(i) = Double.NaN; out(1)(i) = Double.NaN
+          } else {
+            val zxx = (e - 2.0 * c + wv) / dx2
+            val zyy = (n - 2.0 * c + s) / dy2
+            val zxy = (ne - nw - se + sw) / dxy4
+            val s3 = 1.0 + g2
+            out(0)(i) = (zxx * (p * p) + 2.0 * zxy * (p * q) + zyy * (q * q)) /
+                        (g2 * (s3 * math.sqrt(s3)))
+            out(1)(i) = (zxx * (q * q) - 2.0 * zxy * (p * q) + zyy * (p * p)) /
+                        (g2 * math.sqrt(g2))
+          }
+          y += 1
+        }
+        x += 1
+      }
+    }
+  }
+
+  /**
    * Generic 4-neighborhood focal operator: one distributed halo exchange
    * (each tile ships 1-cell border strips to its 4 neighbors), then
    * `kernel(E, W, N, S, out, cellIdx)` fills `nBands` output bands per
