@@ -68,9 +68,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("no CartesianProduct anywhere except the labeled brute-force baseline") {
     for (q <- Seq("q37_jaccard_neardup", "q42_neardup_embedding",
-                  "q34_lsh_buckets", "q13_knn")) {
+                  "q34_lsh_buckets", "q13_knn", "q49_decontaminate",
+                  "q52_repetition_stats", "q78_zonal_stats")) {
       val plan = executed(q)
       assert(count(plan, "CartesianProduct") == 0, q)
     }
+  }
+
+  test("q49: the kept bench-gram table is broadcast into the corpus probe") {
+    val plan = executed("q49_decontaminate")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "bench grams must broadcast")
+    assert(count(plan, "SortMergeJoin") == 0, "no wide join in decontamination")
+  }
+
+  test("q48: the per-source rate table is broadcast, docs never shuffle pre-agg") {
+    val plan = executed("q48_mixture_sample")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "rate table must broadcast")
+    assert(count(plan, "SortMergeJoin") == 0)
+  }
+
+  test("q78: zones broadcast into the PIP join; scan prunes to used columns") {
+    val plan = executed("q78_zonal_stats")
+    assert(count(plan, "BroadcastHashJoin") >= 1, "zone cover must broadcast")
+    assert(count(plan, "CartesianProduct") == 0)
   }
 }
