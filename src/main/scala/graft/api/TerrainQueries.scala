@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TileGeometry
-import graft.raster.Focal
+import graft.raster.{Focal, Terrain}
 
 /**
  * Geomorphology queries (reference library/HMGeomorphology.java, implemented
@@ -157,6 +157,34 @@ object TerrainQueries {
            if (java.lang.Double.isNaN(il(i))) None else Some(il(i)))
         }
       }.toDF("cx", "cy", "octant", "illum")
+        .orderBy($"cx", $"cy")
+    },
+
+    // Per-cell temporal trend over a raster stack — the remote-sensing
+    // change-detection staple (NDVI trends): 5 epochs of a drifting terrain
+    // (epoch t samples the surface at cx + t), OLS slope per cell. Values
+    // are 1e-6-quantized BIGINTs so every sum is exact integer arithmetic
+    // (double-sum order would differ between engines); the closed-form
+    // slope numerator n*S(t*y) - S(t)*S(y) only goes through doubles in the
+    // final division. Generation is a pure (cell, t) function = map-side;
+    // the aggregation is one partial-agg shuffle keyed by cell.
+    "q82_cell_trend" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val w = W; val h = H // capture ints, not the object, in the closure
+      val stack = s.range(W.toLong * H).select(
+          expr(s"id div $H").as("cx"), ($"id" % H).as("cy"))
+        .crossJoin(s.range(5).select($"id".as("t")))
+        .as[(Long, Long, Long)]
+        .map { case (cx, cy, t) => (cx, cy, t, Terrain.elevation(cx + t, cy, w, h)) }
+        .toDF("cx", "cy", "t", "y")
+        .withColumn("yq", round($"y" * 1000000.0, 0).cast("bigint"))
+      // n = 5, S(t) = 10, n*S(t^2) - S(t)^2 = 50
+      stack.groupBy($"cx", $"cy")
+        .agg(sum($"yq").as("sum_y"), sum($"t" * $"yq").as("sum_ty"))
+        .select($"cx", $"cy", $"sum_y",
+                round(($"sum_ty" * 5L - $"sum_y" * 10L).cast("double")
+                        / 50.0 / 1000000.0, 9).as("slope"))
         .orderBy($"cx", $"cy")
     },
 
@@ -317,6 +345,26 @@ object TerrainQueries {
       s"""WITH $flowDirCtes
          |SELECT cx, cy, CAST(dir AS BIGINT) AS dir FROM dirs
          |ORDER BY cx, cy""".stripMargin,
+
+    "q82_cell_trend" ->
+      s"""WITH wide AS (
+         |  SELECT cx.cx, cy.cy, $elevationSql AS elev
+         |  FROM generate_series(0, ${W + 3}) cx(cx), generate_series(0, ${H - 1}) cy(cy)),
+         |grid AS (
+         |  SELECT cx.cx, cy.cy
+         |  FROM generate_series(0, ${W - 1}) cx(cx), generate_series(0, ${H - 1}) cy(cy)),
+         |stack AS (
+         |  SELECT g.cx, g.cy, t.t, CAST(ROUND(w.elev * 1000000.0E0, 0) AS BIGINT) AS yq
+         |  FROM grid g, generate_series(0, 4) t(t), wide w
+         |  WHERE w.cx = g.cx + t.t AND w.cy = g.cy),
+         |agg AS (
+         |  SELECT cx, cy, CAST(SUM(yq) AS BIGINT) AS sum_y,
+         |         CAST(SUM(t * yq) AS BIGINT) AS sum_ty
+         |  FROM stack GROUP BY 1, 2)
+         |SELECT cx, cy, sum_y,
+         |       ROUND(CAST(sum_ty * 5 - sum_y * 10 AS DOUBLE)
+         |             / 50.0E0 / 1000000.0E0, 9) AS slope
+         |FROM agg ORDER BY cx, cy""".stripMargin,
 
     "q81_curvatures" -> {
       val dx = region.cellWidth; val dy = region.cellHeight

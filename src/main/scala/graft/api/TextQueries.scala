@@ -229,6 +229,23 @@ object TextQueries {
       neardupPairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
 
+    // Normalization-then-dedup (the "fuzzy-exact" tier between q30's exact
+    // hash and q37's MinHash): lowercase, strip non-alphanumerics, collapse
+    // whitespace, then group on the md5 of the normalized form. One
+    // map-side projection + one hash aggregation — the cheapest dedup that
+    // survives punctuation/case/spacing edits. (DuckDB regexp_replace needs
+    // the 'g' flag to match Spark's replace-all semantics.)
+    "q53_normalized_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", md5(norm).as("nhash"))
+        .groupBy($"nhash")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+        .orderBy($"nhash")
+    },
+
     // Mixture balancing — deterministic downsampling of over-represented
     // sources to the per-source mean (the "data mixture" step of a training
     // pipeline). Keep criterion is PURE INTEGER arithmetic:
@@ -497,6 +514,12 @@ object TextQueries {
       s"""WITH $neardupCtes
          |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q53_normalized_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nhash,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_members
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q48_mixture_sample" ->
       """WITH stats AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
