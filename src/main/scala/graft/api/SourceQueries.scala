@@ -171,6 +171,62 @@ object SourceQueries {
     // points. The zones are axis-aligned so the oracle replays membership
     // as range predicates while the ENGINE still runs the generic polygon
     // path — any parse/flatten/orientation defect flips the counts.
+    // Vector analytics over parsed GeoJSON rings: vertex count, signed
+    // shoelace area, and polygon centroid — computed on 1e-4-QUANTIZED
+    // integer coordinates so every per-vertex cross product and their sums
+    // are exact BIGINTs (order-independent under any shuffle; doubles enter
+    // only in the final scale-back divisions, which the oracle replays).
+    // The vertex explode + groupBy(zone) shape streams arbitrarily large
+    // rings; the quantization bound (1e5 * 2e10 * vertices) stays far under
+    // BIGINT for real-world coordinate ranges.
+    "q84_zone_geometry" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.GeoJson
+      val zonesSrc = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", ($"k" % 5).cast("double") * 2.0)
+        .withColumn("y0", floor($"k" / 5.0).cast("double") * 1.6)
+        .withColumn("x1", $"x0" + 1.9)
+        .withColumn("y1", $"y0" + 1.5)
+      def d(c: org.apache.spark.sql.Column) = c.cast("string")
+      val feature = concat(
+        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+        d($"x0"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y0"), lit("],["),
+        d($"x1"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y1"), lit("],["),
+        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
+        .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
+        .filter($"ring".isNotNull)
+        .withColumn("n", expr("size(ring) div 2"))
+      val verts = zones
+        .select($"zone_id", $"ring", $"n",
+                explode(sequence(lit(0L), $"n" - 1L)).as("i"))
+        .select($"zone_id", $"n", $"i",
+          round(element_at($"ring", ($"i" * 2 + 1).cast("int")) * 10000.0, 0)
+            .cast("bigint").as("xi"),
+          round(element_at($"ring", ($"i" * 2 + 2).cast("int")) * 10000.0, 0)
+            .cast("bigint").as("yi"),
+          round(element_at($"ring", ((($"i" + 1) % $"n") * 2 + 1).cast("int")) * 10000.0, 0)
+            .cast("bigint").as("xj"),
+          round(element_at($"ring", ((($"i" + 1) % $"n") * 2 + 2).cast("int")) * 10000.0, 0)
+            .cast("bigint").as("yj"))
+        .withColumn("cr", $"xi" * $"yj" - $"xj" * $"yi")
+      verts.groupBy($"zone_id")
+        .agg(max($"n").as("n_vertices"), sum($"cr").as("s2a"),
+             sum(($"xi" + $"xj") * $"cr").as("numx"),
+             sum(($"yi" + $"yj") * $"cr").as("numy"))
+        .select($"zone_id", $"n_vertices",
+                round($"s2a".cast("double") / 2.0 / 100000000.0, 9).as("area"),
+                round($"numx".cast("double") / (lit(3.0) * $"s2a".cast("double"))
+                        / 10000.0, 9).as("centroid_x"),
+                round($"numy".cast("double") / (lit(3.0) * $"s2a".cast("double"))
+                        / 10000.0, 9).as("centroid_y"))
+        .orderBy($"zone_id")
+    },
+
     "q75_geojson_pip" -> { (s, dir) =>
       import s.implicits._
       import graft.operators.SpatialJoin
@@ -276,6 +332,44 @@ object SourceQueries {
          |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
          |  AND ms >= $QStart AND ms <= $QEnd
          |ORDER BY item_id""".stripMargin,
+
+    // replays the quantized shoelace terms of the 4 rect corners in the
+    // same vertex order the parsed GeoJSON ring carries (CCW from (x0,y0))
+    "q84_zone_geometry" ->
+      """WITH z AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS zone_id,
+        |         (CAST(n_nationkey AS BIGINT) % 5) * 2.0E0 AS x0,
+        |         FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 1.6E0 AS y0
+        |  FROM nation),
+        |qz AS (
+        |  SELECT zone_id,
+        |         CAST(ROUND(x0 * 10000.0E0, 0) AS BIGINT) AS qx0,
+        |         CAST(ROUND(y0 * 10000.0E0, 0) AS BIGINT) AS qy0,
+        |         CAST(ROUND((x0 + 1.9E0) * 10000.0E0, 0) AS BIGINT) AS qx1,
+        |         CAST(ROUND((y0 + 1.5E0) * 10000.0E0, 0) AS BIGINT) AS qy1
+        |  FROM z),
+        |cr AS (
+        |  SELECT zone_id, qx0, qy0, qx1, qy1,
+        |         qx0 * qy0 - qx1 * qy0 AS cr0,
+        |         qx1 * qy1 - qx1 * qy0 AS cr1,
+        |         qx1 * qy1 - qx0 * qy1 AS cr2,
+        |         qx0 * qy0 - qx0 * qy1 AS cr3
+        |  FROM qz),
+        |agg AS (
+        |  SELECT zone_id,
+        |         cr0 + cr1 + cr2 + cr3 AS s2a,
+        |         (qx0 + qx1) * cr0 + (qx1 + qx1) * cr1
+        |           + (qx1 + qx0) * cr2 + (qx0 + qx0) * cr3 AS numx,
+        |         (qy0 + qy0) * cr0 + (qy0 + qy1) * cr1
+        |           + (qy1 + qy1) * cr2 + (qy1 + qy0) * cr3 AS numy
+        |  FROM cr)
+        |SELECT zone_id, CAST(4 AS BIGINT) AS n_vertices,
+        |       ROUND(CAST(s2a AS DOUBLE) / 2.0E0 / 100000000.0E0, 9) AS area,
+        |       ROUND(CAST(numx AS DOUBLE) / (3.0E0 * CAST(s2a AS DOUBLE))
+        |             / 10000.0E0, 9) AS centroid_x,
+        |       ROUND(CAST(numy AS DOUBLE) / (3.0E0 * CAST(s2a AS DOUBLE))
+        |             / 10000.0E0, 9) AS centroid_y
+        |FROM agg ORDER BY zone_id""".stripMargin,
 
     "q75_geojson_pip" ->
       s"""WITH z AS (

@@ -160,6 +160,33 @@ object TerrainQueries {
         .orderBy($"cx", $"cy")
     },
 
+    // Aggregation resampling (GDAL "average" semantics): downsample the
+    // terrain 4x by the exact mean of each 4x4 block. Tiles don't align
+    // with block boundaries, so each tile emits PARTIAL quantized sums for
+    // the output cells it covers and one shuffle keyed by output cell
+    // combines them — the map-side-combine shape that never materializes
+    // the full grid anywhere. Quantized-integer sums make the mean
+    // order-independent and oracle-exact.
+    "q83_downsample_mean" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val f = 4
+      val cells = tilesToRows(s, Focal.terrainTiles(s, region, maxCells = MaxCells), "elev")
+      cells
+        .select(expr(s"cx div $f").as("ocx"), expr(s"cy div $f").as("ocy"),
+                round($"elev" * 1000000.0, 0).cast("bigint").as("q"))
+        .groupBy($"ocx", $"ocy")
+        .agg(count(lit(1)).as("n_cells"), sum($"q").as("sum_q"))
+        // mean at 1e-6 via exact integer floor division — a rounded double
+        // mean hits exact .5 ties on power-of-two block sizes (16 cells),
+        // where Spark's BigDecimal rounding and DuckDB's scaled-double
+        // rounding can disagree by one ulp of the last digit
+        .select($"ocx", $"ocy", $"n_cells", $"sum_q",
+                (expr("sum_q div n_cells").cast("double") / 1000000.0)
+                  .as("mean_elev"))
+        .orderBy($"ocx", $"ocy")
+    },
+
     // Per-cell temporal trend over a raster stack — the remote-sensing
     // change-detection staple (NDVI trends): 5 epochs of a drifting terrain
     // (epoch t samples the surface at cx + t), OLS slope per cell. Values
@@ -345,6 +372,17 @@ object TerrainQueries {
       s"""WITH $flowDirCtes
          |SELECT cx, cy, CAST(dir AS BIGINT) AS dir FROM dirs
          |ORDER BY cx, cy""".stripMargin,
+
+    "q83_downsample_mean" ->
+      s"""WITH $terrainCte,
+         |q AS (
+         |  SELECT cx // 4 AS ocx, cy // 4 AS ocy,
+         |         CAST(ROUND(elev * 1000000.0E0, 0) AS BIGINT) AS q
+         |  FROM terrain)
+         |SELECT ocx, ocy, COUNT(*) AS n_cells, CAST(SUM(q) AS BIGINT) AS sum_q,
+         |       CAST(CAST(SUM(q) AS BIGINT) // COUNT(*) AS DOUBLE)
+         |         / 1000000.0E0 AS mean_elev
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q82_cell_trend" ->
       s"""WITH wide AS (
