@@ -50,6 +50,56 @@ object RelationalQueries {
         .orderBy($"r_name")
     },
 
+    // TPC-H Q8 shape (national market share): 5-table star — lineitem fact,
+    // part/supplier/nation dims broadcast, orders joined on the fact key —
+    // per order-year revenue share of each supplier nation within the
+    // PROMO part segment. Revenue in exact integer cents; the share ratio
+    // divides two already-aggregated BIGINTs so it replays bit-for-bit.
+    "q08_market_share" -> { (s, dir) =>
+      import s.implicits._
+      val li = s.read.parquet(p(dir, "lineitem"))
+      val part = s.read.parquet(p(dir, "part")).filter($"p_type" === "PROMO")
+      val supp = s.read.parquet(p(dir, "supplier"))
+      val nation = s.read.parquet(p(dir, "nation"))
+      val orders = s.read.parquet(p(dir, "orders"))
+      val rev = li
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy(year($"o_orderdate").cast("bigint").as("o_year"), $"n_name")
+        .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100, 0)
+               .cast("bigint")).as("revenue_cents"))
+      val w = Window.partitionBy($"o_year")
+      rev.withColumn("year_cents", sum($"revenue_cents").over(w))
+        .select($"o_year", $"n_name", $"revenue_cents",
+                round($"revenue_cents".cast("double") / $"year_cents", 6).as("share"))
+        .orderBy($"o_year", $"n_name")
+    },
+
+    // TPC-H Q9 shape (product-type profit), adapted to this schema's lack
+    // of partsupp: profit = revenue - 10% of retail price x quantity (the
+    // cost model is synthetic but identical in both engines), grouped by
+    // supplier nation x order-year over parts named '%gear%'.
+    "q09_product_profit" -> { (s, dir) =>
+      import s.implicits._
+      val li = s.read.parquet(p(dir, "lineitem"))
+      val part = s.read.parquet(p(dir, "part")).filter($"p_name".like("%gear%"))
+      val supp = s.read.parquet(p(dir, "supplier"))
+      val nation = s.read.parquet(p(dir, "nation"))
+      val orders = s.read.parquet(p(dir, "orders"))
+      val amountCents = round(
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")
+           - $"p_retailprice" * $"l_quantity" * 0.1) * 100, 0).cast("bigint")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", year($"o_orderdate").cast("bigint").as("o_year"))
+        .agg(sum(amountCents).as("profit_cents"), count(lit(1)).as("n_lines"))
+        .orderBy($"n_name", $"o_year")
+    },
+
     "q03_top_orders_per_segment" -> { (s, dir) =>
       import s.implicits._
       val orders = s.read.parquet(p(dir, "orders"))
@@ -115,6 +165,36 @@ object RelationalQueries {
         |       COUNT(*) AS n_rows,
         |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q08_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, n_name,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |                       AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_year, n_name, revenue_cents,
+        |       ROUND(CAST(revenue_cents AS DOUBLE)
+        |             / CAST(SUM(revenue_cents) OVER (PARTITION BY o_year) AS DOUBLE),
+        |             6) AS share
+        |FROM rev ORDER BY o_year, n_name""".stripMargin,
+
+    "q09_product_profit" ->
+      """SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+        |                            - p_retailprice * l_quantity * 0.1) * 100, 0)
+        |                     AS BIGINT)) AS BIGINT) AS profit_cents,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q02_region_revenue" ->
       """SELECT r_name,
