@@ -50,6 +50,49 @@ object RelationalQueries {
         .orderBy($"r_name")
     },
 
+    // Anti-join coverage: parts never sold at a deep (>= 9%) discount.
+    // LEFT ANTI against the filtered fact table — the filter rides the
+    // parquet scan (PushedFilters), and at scale the distinct-partkey side
+    // is what shuffles while the dim streams; oracle = NOT EXISTS.
+    "q19_parts_never_discounted" -> { (s, dir) =>
+      import s.implicits._
+      val part = s.read.parquet(p(dir, "part"))
+      val li = s.read.parquet(p(dir, "lineitem"))
+        .filter($"l_discount" >= 0.09).select($"l_partkey")
+      part.join(li, $"p_partkey" === $"l_partkey", "left_anti")
+        .select($"p_partkey", $"p_name", $"p_type")
+        .orderBy($"p_partkey")
+    },
+
+    // Semi-join coverage: customers with at least one urgent order over a
+    // price floor — LEFT SEMI keeps the probe side unduplicated without a
+    // distinct (no exchange of the multiplicity), oracle = EXISTS.
+    "q54_customers_with_urgent" -> { (s, dir) =>
+      import s.implicits._
+      val cust = s.read.parquet(p(dir, "customer"))
+      val orders = s.read.parquet(p(dir, "orders"))
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 100000.0)
+      cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // Tumbling-window aggregation — Spark's window() streaming idiom on the
+    // batch path (the exact shape a readStream variant reuses): 1-hour
+    // buckets per event_type, value sums in integer cents. The window
+    // bounds are epoch-derived, so the oracle replays them with epoch_ms
+    // integer arithmetic.
+    "q55_tumbling_windows" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "events"))
+        .withColumn("w", window($"ts".cast("timestamp"), "1 hour"))
+        .groupBy(unix_millis($"w.start").as("w_start_ms"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(round($"value" * 100, 0).cast("bigint")).as("sum_value_cents"),
+             min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+        .orderBy($"w_start_ms", $"event_type")
+    },
+
     // TPC-H Q8 shape (national market share): 5-table star — lineitem fact,
     // part/supplier/nation dims broadcast, orders joined on the fact key —
     // per order-year revenue share of each supplier nation within the
@@ -165,6 +208,28 @@ object RelationalQueries {
         |       COUNT(*) AS n_rows,
         |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_parts_never_discounted" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_discount >= 0.09E0)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q54_customers_with_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > 100000.0E0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q55_tumbling_windows" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_start_ms, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       MIN(event_id) AS min_ev, MAX(event_id) AS max_ev
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q08_market_share" ->
       """WITH rev AS (
