@@ -171,6 +171,83 @@ object SourceQueries {
     // points. The zones are axis-aligned so the oracle replays membership
     // as range predicates while the ENGINE still runs the generic polygon
     // path — any parse/flatten/orientation defect flips the counts.
+    // MultiPolygon PIP: each zone is TWO disjoint rect parts parsed from
+    // one MultiPolygon Feature (GeoJson.parseFeatures explodes parts into
+    // zone rows), joined through the rings-aware PIP (cover prefilter on
+    // each part's outer ring). Disjoint parts keep per-zone counts exact.
+    "q56_multipolygon_pip" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpatialJoin
+      import graft.sources.GeoJson
+      val zonesSrc = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4)
+        .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
+      def d(c: Column): Column = c.cast("string")
+      def rect(ax: Column, ay: Column, bx: Column, by: Column) = concat(
+        lit("[[["), d(ax), lit(","), d(ay), lit("],["), d(bx), lit(","), d(ay),
+        lit("],["), d(bx), lit(","), d(by), lit("],["), d(ax), lit(","), d(by),
+        lit("],["), d(ax), lit(","), d(ay), lit("]]]"))
+      val feature = concat(
+        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+        lit("},\"geometry\":{\"type\":\"MultiPolygon\",\"coordinates\":["),
+        rect($"x0", $"y0", $"x0" + 0.2, $"y0" + 0.15), lit(","),
+        rect($"x0" + 0.25, $"y0" + 0.18, $"x0" + 0.45, $"y0" + 0.28),
+        lit("]}}"))
+      val zones = GeoJson.parseFeatures(zonesSrc.select(feature.as("doc")), "doc")
+        .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"rings")
+      val span = 100000.0
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id")
+        .withColumn("lon", lit(Geo.minX) + ($"event_id" * 7919 % 100000).cast("double")
+          / span * (lit(Geo.maxX) - lit(Geo.minX)))
+        .withColumn("lat", lit(Geo.minY) + ($"event_id" * 104729 % 100000).cast("double")
+          / span * (lit(Geo.maxY) - lit(Geo.minY)))
+      SpatialJoin.pointsInZonesRings(pts, zones, level = 12)
+        .groupBy($"zone_id")
+        .agg(count(lit(1)).as("n_pts"),
+             min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+        .orderBy($"zone_id")
+    },
+
+    // Interior-ring (hole) PIP: one rect zone with a rectangular hole —
+    // the refine is outer-contains AND NOT hole-contains, evaluated as a
+    // higher-order filter over the rings array inside the join condition.
+    "q57_polygon_holes" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpatialJoin
+      import graft.sources.GeoJson
+      val zonesSrc = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4)
+        .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
+      def d(c: Column): Column = c.cast("string")
+      def ringJson(ax: Column, ay: Column, bx: Column, by: Column) = concat(
+        lit("[["), d(ax), lit(","), d(ay), lit("],["), d(bx), lit(","), d(ay),
+        lit("],["), d(bx), lit(","), d(by), lit("],["), d(ax), lit(","), d(by),
+        lit("],["), d(ax), lit(","), d(ay), lit("]]"))
+      val feature = concat(
+        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":["),
+        ringJson($"x0", $"y0", $"x0" + 0.5, $"y0" + 0.35), lit(","),
+        ringJson($"x0" + 0.1, $"y0" + 0.1, $"x0" + 0.2, $"y0" + 0.2),
+        lit("]}}"))
+      val zones = GeoJson.parseFeatures(zonesSrc.select(feature.as("doc")), "doc")
+        .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"rings")
+      val span = 100000.0
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id")
+        .withColumn("lon", lit(Geo.minX) + ($"event_id" * 7919 % 100000).cast("double")
+          / span * (lit(Geo.maxX) - lit(Geo.minX)))
+        .withColumn("lat", lit(Geo.minY) + ($"event_id" * 104729 % 100000).cast("double")
+          / span * (lit(Geo.maxY) - lit(Geo.minY)))
+      SpatialJoin.pointsInZonesRings(pts, zones, level = 12)
+        .groupBy($"zone_id")
+        .agg(count(lit(1)).as("n_pts"),
+             min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+        .orderBy($"zone_id")
+    },
+
     // Vector analytics over parsed GeoJSON rings: vertex count, signed
     // shoelace area, and polygon centroid — computed on 1e-4-QUANTIZED
     // integer coordinates so every per-vertex cross product and their sums
@@ -332,6 +409,50 @@ object SourceQueries {
          |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
          |  AND ms >= $QStart AND ms <= $QEnd
          |ORDER BY item_id""".stripMargin,
+
+    "q56_multipolygon_pip" ->
+      s"""WITH z AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         |         ${Geo.MinX} + (CAST(n_nationkey AS BIGINT) % 5) * 0.4E0 AS x0,
+         |         ${Geo.MinY} + FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 0.3E0 AS y0
+         |  FROM nation),
+         |p AS (
+         |  SELECT event_id,
+         |         ${Geo.MinX} + CAST(event_id * 7919 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxX} - ${Geo.MinX}) AS lon,
+         |         ${Geo.MinY} + CAST(event_id * 104729 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxY} - ${Geo.MinY}) AS lat
+         |  FROM events)
+         |SELECT z.k AS zone_id, COUNT(*) AS n_pts,
+         |       MIN(p.event_id) AS min_ev, MAX(p.event_id) AS max_ev
+         |FROM p, z
+         |WHERE (p.lon >= z.x0 AND p.lon <= z.x0 + 0.2E0
+         |       AND p.lat >= z.y0 AND p.lat <= z.y0 + 0.15E0)
+         |   OR (p.lon >= z.x0 + 0.25E0 AND p.lon <= z.x0 + 0.45E0
+         |       AND p.lat >= z.y0 + 0.18E0 AND p.lat <= z.y0 + 0.28E0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q57_polygon_holes" ->
+      s"""WITH z AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         |         ${Geo.MinX} + (CAST(n_nationkey AS BIGINT) % 5) * 0.4E0 AS x0,
+         |         ${Geo.MinY} + FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 0.3E0 AS y0
+         |  FROM nation),
+         |p AS (
+         |  SELECT event_id,
+         |         ${Geo.MinX} + CAST(event_id * 7919 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxX} - ${Geo.MinX}) AS lon,
+         |         ${Geo.MinY} + CAST(event_id * 104729 % 100000 AS DOUBLE) / 100000.0E0
+         |           * (${Geo.MaxY} - ${Geo.MinY}) AS lat
+         |  FROM events)
+         |SELECT z.k AS zone_id, COUNT(*) AS n_pts,
+         |       MIN(p.event_id) AS min_ev, MAX(p.event_id) AS max_ev
+         |FROM p, z
+         |WHERE p.lon >= z.x0 AND p.lon <= z.x0 + 0.5E0
+         |  AND p.lat >= z.y0 AND p.lat <= z.y0 + 0.35E0
+         |  AND NOT (p.lon >= z.x0 + 0.1E0 AND p.lon <= z.x0 + 0.2E0
+         |           AND p.lat >= z.y0 + 0.1E0 AND p.lat <= z.y0 + 0.2E0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the quantized shoelace terms of the 4 rect corners in the
     // same vertex order the parsed GeoJSON ring carries (CCW from (x0,y0))

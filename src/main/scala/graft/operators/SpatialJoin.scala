@@ -62,6 +62,30 @@ object SpatialJoin {
   }
 
   /**
+   * PIP join against FULL polygon geometry — zones carry
+   * `rings: array<array<double>>` with rings(0) the outer ring and
+   * rings(1..) interior holes (the [[graft.sources.GeoJson.parseFeatures]]
+   * shape; MultiPolygon parts arrive as separate zone rows and parts must
+   * be disjoint for per-zone counts to stay exact). The cell-cover
+   * prefilter runs on the OUTER ring only (holes can only shrink it);
+   * the refine is outer-contains AND no-hole-contains, with the hole test
+   * a higher-order `filter` over the ring array — all inside the join
+   * condition, no post-join pass.
+   */
+  def pointsInZonesRings(points: DataFrame, zones: DataFrame, level: Int): DataFrame = {
+    val zoneCells = zones
+      .withColumn("cell", explode(coverRingUdf(element_at(col("rings"), 1), lit(level))))
+    val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
+    val holes = slice(col("rings"), lit(2), size(col("rings")) - 1)
+    pts.join(broadcast(zoneCells), "cell")
+      .filter(
+        GraftFunctions.winding_contains(element_at(col("rings"), 1), col("lon"), col("lat")) &&
+        size(filter(holes, h =>
+          GraftFunctions.winding_contains(h, col("lon"), col("lat")))) === 0)
+      .drop("cell", "rings")
+  }
+
+  /**
    * Skew-aware join planning (SURVEY.md §4 "join-strategy selection" +
    * north rule: salted broadcast-or-sort-merge selection driven by per-cell
    * histogram skew statistics).
