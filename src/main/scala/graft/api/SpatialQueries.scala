@@ -74,6 +74,21 @@ object SpatialQueries {
         .orderBy($"doc_id", $"zone_id")
     },
 
+    // the SAME join through the skew-aware auto planner with the broadcast
+    // threshold forced to 0 — oracle-checks the SALTED SORT-MERGE branch
+    // (hot-cell histogram -> per-cell salt fan-out) that the 10^12-row
+    // design point takes when the zone cover no longer fits a broadcast;
+    // identical results to q12 prove the two physical strategies agree
+    "q58_pip_salted" -> { (s, dir) =>
+      import s.implicits._
+      val pts = Geo.docPoints(s, dir)
+      val zs = Geo.zones(s, dir).select($"zone_id", $"ring")
+      SpatialJoin.pointsInZonesAuto(pts, zs, level = 12,
+          broadcastMaxCells = 0L, sampleFraction = 1.0, hotCellCap = 50L)
+        .select($"doc_id", $"zone_id")
+        .orderBy($"doc_id", $"zone_id")
+    },
+
     // exact kNN by iterative cell-ring expansion
     "q13_knn" -> { (s, dir) =>
       import s.implicits._
@@ -136,6 +151,14 @@ object SpatialQueries {
          |FROM pts ORDER BY doc_id""".stripMargin,
 
     "q12_pip_join" ->
+      s"""WITH ${Geo.pointsSqlCte},
+         |${Geo.zonesSqlCte}
+         |$pipSqlCore
+         |ORDER BY doc_id, zone_id""".stripMargin,
+
+    // same relation as q12 — the salted physical strategy must not change
+    // a single row
+    "q58_pip_salted" ->
       s"""WITH ${Geo.pointsSqlCte},
          |${Geo.zonesSqlCte}
          |$pipSqlCore

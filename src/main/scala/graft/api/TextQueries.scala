@@ -229,6 +229,28 @@ object TextQueries {
       neardupPairs(s, dir).orderBy($"doc_a", $"doc_b")
     },
 
+    // Out-of-vocabulary rate against a COMPUTED vocabulary: the top-20
+    // corpus tokens by (count DESC, token ASC) — the deterministic
+    // tie-break makes the cut reproducible — broadcast back into the token
+    // stream. The two-pass shape (build dim from fact, probe fact with
+    // broadcast dim) is the standard vocabulary-filter plan at corpus
+    // scale; no token list ever sits on the driver.
+    "q59_oov_rate" -> { (s, dir) =>
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .localCheckpoint(true) // vocab build + probe both read it
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"tok").limit(20).select($"tok".as("v"))
+      toks.join(broadcast(vocab), $"tok" === $"v", "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when($"v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+                round($"n_oov".cast("double") / $"n_tokens", 6).as("oov_rate"))
+        .orderBy($"doc_id")
+    },
+
     // Normalization-then-dedup (the "fuzzy-exact" tier between q30's exact
     // hash and q37's MinHash): lowercase, strip non-alphanumerics, collapse
     // whitespace, then group on the md5 of the normalized form. One
@@ -514,6 +536,20 @@ object TextQueries {
       s"""WITH $neardupCtes
          |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q59_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 20))
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS oov_rate
+        |FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q53_normalized_dedup" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
