@@ -78,18 +78,14 @@ object RelationalQueries {
     },
 
     // Tumbling-window aggregation — Spark's window() streaming idiom on the
-    // batch path (the exact shape a readStream variant reuses): 1-hour
-    // buckets per event_type, value sums in integer cents. The window
-    // bounds are epoch-derived, so the oracle replays them with epoch_ms
-    // integer arithmetic.
+    // batch path. The aggregation is LITERALLY the streaming one
+    // (graft.streaming.DocStream.eventWindowCounts, reused by the
+    // readStream variant whose equality StreamingSpec asserts): 1-hour
+    // buckets per event_type, value sums in integer cents. Window bounds
+    // are epoch-derived, replayed with epoch_ms integer arithmetic.
     "q55_tumbling_windows" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(p(dir, "events"))
-        .withColumn("w", window($"ts".cast("timestamp"), "1 hour"))
-        .groupBy(unix_millis($"w.start").as("w_start_ms"), $"event_type")
-        .agg(count(lit(1)).as("n_events"),
-             sum(round($"value" * 100, 0).cast("bigint")).as("sum_value_cents"),
-             min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+      graft.streaming.DocStream.eventWindowCounts(s.read.parquet(p(dir, "events")))
         .orderBy($"w_start_ms", $"event_type")
     },
 

@@ -44,6 +44,34 @@ object DocStream {
         timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L))
   }
 
+  /** The events table as a file stream (same staging pattern as
+    * [[readDocs]]: one parquet file copied into a dedicated source dir). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_ev", dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(src, staged.resolve("part-00000.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
+
+  /** The q55 tumbling-window aggregation, shared verbatim by the batch
+    * oracle query and the streaming variant (StreamingSpec proves the two
+    * produce identical rows): 1-hour windows per event_type, value sums in
+    * integer cents. Callers add the watermark on the streaming side. */
+  def eventWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100, 0).cast("bigint")).as("sum_value_cents"),
+           min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"), col("event_type"),
+              col("n_events"), col("sum_value_cents"), col("min_ev"), col("max_ev"))
+
   /** Span extraction per micro-batch + windowed counts with a watermark:
     * (window, kind) -> span count. */
   def spanCounts(docs: DataFrame): DataFrame = {

@@ -34,6 +34,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("q55 tumbling-window shape: streaming result equals batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = DocStream.eventWindowCounts(DocStream.readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ev_windows").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM ev_windows")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    val batch = DocStream.eventWindowCounts(spark.read.parquet(s"$dir/events.parquet"))
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("dedup state transition: TTL set on arrival, state removed on timeout") {
     import org.apache.spark.sql.streaming.TestGroupState
     // arrival: first-seen wins, timeout clock set
