@@ -89,6 +89,34 @@ object RelationalQueries {
         .orderBy($"w_start_ms", $"event_type")
     },
 
+    // Funnel / sequence analysis: per user, earliest view -> earliest
+    // subsequent click within 24h -> earliest subsequent purchase within
+    // 24h of the click. Three staged min-aggregations chained by joins on
+    // the SAME key (user_id) — one co-partitioned shuffle key end to end,
+    // no ordered-row state, no window over the full event stream.
+    "q60_event_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val day = 86400000L
+      val ev = s.read.parquet(p(dir, "events"))
+        .select($"user_id", $"event_type",
+                unix_millis($"ts".cast("timestamp")).as("tms"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"tms").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id")
+        .filter($"tms" > $"t_view" && $"tms" <= $"t_view" + day)
+        .groupBy($"user_id").agg(min($"tms").as("t_click"))
+      val pu = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .filter($"tms" > $"t_click" && $"tms" <= $"t_click" + day)
+        .groupBy($"user_id").agg(min($"tms").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+                (lit(1L) + when($"t_click".isNotNull, 1L).otherwise(0L)
+                   + when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stage"))
+        .orderBy($"user_id")
+    },
+
     // TPC-H Q8 shape (national market share): 5-table star — lineitem fact,
     // part/supplier/nation dims broadcast, orders joined on the fact key —
     // per order-year revenue share of each supplier nation within the
@@ -204,6 +232,31 @@ object RelationalQueries {
         |       COUNT(*) AS n_rows,
         |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q60_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(tms) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.tms) AS t_click
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.tms > v.t_view
+        |    AND e.tms <= v.t_view + 86400000 GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, MIN(e.tms) AS t_purchase
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tms > c.t_click
+        |    AND e.tms <= c.t_click + 86400000 GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, pu.t_purchase,
+        |       CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+        |              + CASE WHEN pu.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+        |            AS BIGINT) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN pu ON v.user_id = pu.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "q19_parts_never_discounted" ->
       """SELECT p_partkey, p_name, p_type FROM part
