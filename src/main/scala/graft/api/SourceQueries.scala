@@ -171,6 +171,57 @@ object SourceQueries {
     // points. The zones are axis-aligned so the oracle replays membership
     // as range predicates while the ENGINE still runs the generic polygon
     // path — any parse/flatten/orientation defect flips the counts.
+    // Zone-to-zone OVERLAY join: two parsed GeoJSON zone layers joined on
+    // shared cover cells (the polygon-polygon prefilter — same hierarchical
+    // index as the point joins, B's cover broadcast), deduplicated to
+    // candidate pairs, refined to bbox intersection with the exact overlap
+    // area (axis-aligned zones: bbox intersection IS the intersection).
+    // Bboxes are derived FROM the parsed rings with index-filtered
+    // min/max folds — order-independent, so bit-equal to the oracle's
+    // analytic bounds.
+    "q86_zone_overlap_join" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SpatialJoin
+      import graft.sources.GeoJson
+      def mkZones(shiftX: Double, shiftY: Double, w: Double, h: Double,
+                  tag: String): DataFrame = {
+        val src = s.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey".cast("long").as("k"))
+          .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4 + shiftX)
+          .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3 + shiftY)
+          .withColumn("x1", $"x0" + w)
+          .withColumn("y1", $"y0" + h)
+        def d(c: Column): Column = c.cast("string")
+        val feature = concat(
+          lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
+          lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+          d($"x0"), lit(","), d($"y0"), lit("],["),
+          d($"x1"), lit(","), d($"y0"), lit("],["),
+          d($"x1"), lit(","), d($"y1"), lit("],["),
+          d($"x0"), lit(","), d($"y1"), lit("],["),
+          d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+        val xs = filter($"ring", (_, i) => i % 2 === 0)
+        val ys = filter($"ring", (_, i) => i % 2 === 1)
+        GeoJson.parsePolygons(src.select(feature.as("doc")), "doc")
+          .filter($"ring".isNotNull)
+          .select(element_at($"properties", "zone").cast("long").as(s"zone_$tag"),
+                  $"ring",
+                  array_min(xs).as(s"${tag}x0"), array_max(xs).as(s"${tag}x1"),
+                  array_min(ys).as(s"${tag}y0"), array_max(ys).as(s"${tag}y1"))
+      }
+      val za = mkZones(0.0, 0.0, 0.5, 0.35, "a")
+        .withColumn("cell", explode(SpatialJoin.coverRingUdf($"ring", lit(12)))).drop("ring")
+      val zb = mkZones(0.2, 0.1, 0.4, 0.25, "b")
+        .withColumn("cell", explode(SpatialJoin.coverRingUdf($"ring", lit(12)))).drop("ring")
+      val ow = least($"ax1", $"bx1") - greatest($"ax0", $"bx0")
+      val oh = least($"ay1", $"by1") - greatest($"ay0", $"by0")
+      za.join(broadcast(zb), "cell")
+        .dropDuplicates("zone_a", "zone_b")
+        .filter(ow > 0.0 && oh > 0.0)
+        .select($"zone_a", $"zone_b", (ow * oh).as("overlap_area"))
+        .orderBy($"zone_a", $"zone_b")
+    },
+
     // MultiPolygon PIP: each zone is TWO disjoint rect parts parsed from
     // one MultiPolygon Feature (GeoJson.parseFeatures explodes parts into
     // zone rows), joined through the rings-aware PIP (cover prefilter on
@@ -409,6 +460,25 @@ object SourceQueries {
          |  AND miny < 3.5E0 AND miny + 0.08E0 > 2.5E0
          |  AND ms >= $QStart AND ms <= $QEnd
          |ORDER BY item_id""".stripMargin,
+
+    "q86_zone_overlap_join" ->
+      s"""WITH za AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS zone_a,
+         |         ${Geo.MinX} + (CAST(n_nationkey AS BIGINT) % 5) * 0.4E0 + 0.0E0 AS ax0,
+         |         ${Geo.MinY} + FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 0.3E0 + 0.0E0 AS ay0
+         |  FROM nation),
+         |zb AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS zone_b,
+         |         ${Geo.MinX} + (CAST(n_nationkey AS BIGINT) % 5) * 0.4E0 + 0.2E0 AS bx0,
+         |         ${Geo.MinY} + FLOOR(CAST(n_nationkey AS BIGINT) / 5.0E0) * 0.3E0 + 0.1E0 AS by0
+         |  FROM nation)
+         |SELECT zone_a, zone_b,
+         |       (LEAST(ax0 + 0.5E0, bx0 + 0.4E0) - GREATEST(ax0, bx0))
+         |       * (LEAST(ay0 + 0.35E0, by0 + 0.25E0) - GREATEST(ay0, by0)) AS overlap_area
+         |FROM za, zb
+         |WHERE LEAST(ax0 + 0.5E0, bx0 + 0.4E0) - GREATEST(ax0, bx0) > 0.0E0
+         |  AND LEAST(ay0 + 0.35E0, by0 + 0.25E0) - GREATEST(ay0, by0) > 0.0E0
+         |ORDER BY zone_a, zone_b""".stripMargin,
 
     "q56_multipolygon_pip" ->
       s"""WITH z AS (

@@ -160,6 +160,35 @@ object TerrainQueries {
         .orderBy($"cx", $"cy")
     },
 
+    // Raster region labeling (the GDAL-polygonize shape): connected
+    // components of 4-adjacent low-elevation cells (< 1300 m basins).
+    // Adjacency is two grid-shifted equi-joins (cx+1 / cy+1 — Catalyst
+    // extracts the shifted keys, no theta join), closed by the same
+    // log-round ConnectedComponents operator q76 uses; region id = min
+    // cell id, replayed by a recursive CTE over the identical edge set.
+    "q85_basin_regions" -> { (s, dir) =>
+      import s.implicits._
+      val _ = dir
+      val cells = tilesToRows(s, Focal.terrainTiles(s, region, maxCells = MaxCells), "elev")
+        .filter($"elev" < 1300.0)
+        .select(($"cx" * H + $"cy").as("id"), $"cx", $"cy", $"elev")
+        .localCheckpoint(true) // edges (x2) + the final labeling all read it
+      val e1 = cells.as("a").join(cells.as("b"),
+          col("a.cx") + 1 === col("b.cx") && col("a.cy") === col("b.cy"))
+        .select(col("a.id").as("u"), col("b.id").as("v"))
+      val e2 = cells.as("a").join(cells.as("b"),
+          col("a.cx") === col("b.cx") && col("a.cy") + 1 === col("b.cy"))
+        .select(col("a.id").as("u"), col("b.id").as("v"))
+      val comp = graft.operators.ConnectedComponents
+        .minLabel(e1.union(e2), "u", "v", edgesDistinct = true)
+        .withColumnRenamed("id", "cid").withColumnRenamed("lbl", "region_id")
+      cells.join(comp, $"id" === $"cid", "left")
+        .select(coalesce($"region_id", $"id").as("region_id"), $"elev")
+        .groupBy($"region_id")
+        .agg(count(lit(1)).as("n_cells"), min($"elev").as("min_elev"))
+        .orderBy($"region_id")
+    },
+
     // Aggregation resampling (GDAL "average" semantics): downsample the
     // terrain 4x by the exact mean of each 4x4 block. Tiles don't align
     // with block boundaries, so each tile emits PARTIAL quantized sums for
@@ -372,6 +401,27 @@ object TerrainQueries {
       s"""WITH $flowDirCtes
          |SELECT cx, cy, CAST(dir AS BIGINT) AS dir FROM dirs
          |ORDER BY cx, cy""".stripMargin,
+
+    "q85_basin_regions" ->
+      s"""WITH RECURSIVE $terrainCte,
+         |cells AS (
+         |  SELECT cx * $H + cy AS id, cx, cy, elev FROM terrain
+         |  WHERE elev < 1300.0E0),
+         |e AS (
+         |  SELECT a.id AS u, b.id AS v FROM cells a
+         |  JOIN cells b ON a.cx + 1 = b.cx AND a.cy = b.cy
+         |  UNION ALL
+         |  SELECT a.id, b.id FROM cells a
+         |  JOIN cells b ON a.cx = b.cx AND a.cy + 1 = b.cy),
+         |es AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM cells
+         |  UNION
+         |  SELECT es.u, r.lbl FROM es JOIN reach r ON r.id = es.v),
+         |comp AS (SELECT id, MIN(lbl) AS region_id FROM reach GROUP BY 1)
+         |SELECT comp.region_id, COUNT(*) AS n_cells, MIN(cells.elev) AS min_elev
+         |FROM cells JOIN comp ON cells.id = comp.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q83_downsample_mean" ->
       s"""WITH $terrainCte,
