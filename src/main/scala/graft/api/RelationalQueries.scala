@@ -89,6 +89,50 @@ object RelationalQueries {
         .orderBy($"w_start_ms", $"event_type")
     },
 
+    // Exact order statistics per group — engine percentile functions
+    // differ in interpolation, so the quantile is DEFINED deterministically:
+    // the value at rank floor((n-1)*p)+1 of the (cents, event_id)-sorted
+    // order. One shuffle by group, rank + pick — the spec is portable to
+    // any engine and replayed verbatim.
+    "q87_exact_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"cents", $"event_id")
+      val ranked = s.read.parquet(p(dir, "events"))
+        .select($"event_type", $"event_id",
+                round($"value" * 100, 0).cast("bigint").as("cents"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      def pick(pNum: Long, pDen: Long) = // exact integral rank arithmetic
+        max(when($"rnk" === expr(s"((n - 1) * $pNum) div $pDen") + 1L, $"cents"))
+      ranked.groupBy($"event_type")
+        .agg(max($"n").as("n_events"),
+             pick(1, 2).as("p50_cents"), pick(9, 10).as("p90_cents"),
+             pick(99, 100).as("p99_cents"))
+        .orderBy($"event_type")
+    },
+
+    // Frame-based rolling window: per user ordered by (ts, event_id), the
+    // moving sum/avg of the last 5 events (ROWS BETWEEN 4 PRECEDING AND
+    // CURRENT ROW) in integer cents — frame sums are sequential per
+    // partition, so exactness needs no quantized-sum tricks, but cents
+    // keep avg division deterministic.
+    "q88_rolling_window" -> { (s, dir) =>
+      import s.implicits._
+      val ev = s.read.parquet(p(dir, "events"))
+        .select($"user_id", $"event_id",
+                unix_millis($"ts".cast("timestamp")).as("tms"),
+                round($"value" * 100, 0).cast("bigint").as("cents"))
+      val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+        .rowsBetween(-4, 0)
+      ev.withColumn("roll_cents", sum($"cents").over(w))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select($"user_id", $"event_id", $"tms", $"roll_cents",
+                round($"roll_cents".cast("double") / $"roll_n" / 100.0, 6)
+                  .as("roll_avg"))
+        .orderBy($"user_id", $"tms", $"event_id")
+    },
+
     // Funnel / sequence analysis: per user, earliest view -> earliest
     // subsequent click within 24h -> earliest subsequent purchase within
     // 24h of the click. Three staged min-aggregations chained by joins on
@@ -232,6 +276,34 @@ object RelationalQueries {
         |       COUNT(*) AS n_rows,
         |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q87_exact_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                 ORDER BY CAST(ROUND(value * 100, 0) AS BIGINT),
+        |                                          event_id) AS BIGINT) AS rnk,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        |       MAX(CASE WHEN rnk = ((n - 1) * 1) // 2 + 1 THEN cents END) AS p50_cents,
+        |       MAX(CASE WHEN rnk = ((n - 1) * 9) // 10 + 1 THEN cents END) AS p90_cents,
+        |       MAX(CASE WHEN rnk = ((n - 1) * 99) // 100 + 1 THEN cents END) AS p99_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_rolling_window" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+        |       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+        |                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |             / COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |             / 100.0, 6) AS roll_avg
+        |FROM events ORDER BY user_id, tms, event_id""".stripMargin,
 
     "q60_event_funnel" ->
       """WITH e AS (
