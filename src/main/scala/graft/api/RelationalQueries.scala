@@ -89,6 +89,73 @@ object RelationalQueries {
         .orderBy($"w_start_ms", $"event_type")
     },
 
+    // Pivot: event counts by hour-of-day x event_type, through Spark's
+    // relational pivot with an EXPLICIT value list (deterministic output
+    // schema — never let pivot infer columns with a distinct scan at
+    // corpus scale). Oracle = portable conditional aggregation.
+    "q89_pivot_hourly" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "events"))
+        .select(hour($"ts".cast("timestamp")).cast("bigint").as("hr"), $"event_type")
+        .groupBy($"hr")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        // pivot yields NULL for absent (hr, type) combos where conditional
+        // aggregation yields 0 — normalize so small scale factors compare
+        .select($"hr", coalesce($"click", lit(0L)).as("n_click"),
+                coalesce($"error", lit(0L)).as("n_error"),
+                coalesce($"purchase", lit(0L)).as("n_purchase"),
+                coalesce($"signup", lit(0L)).as("n_signup"),
+                coalesce($"view", lit(0L)).as("n_view"))
+        .orderBy($"hr")
+    },
+
+    // Set difference: AUTOMOBILE customers who never placed an URGENT
+    // order — EXCEPT over projected key sets (q05 covers INTERSECT).
+    "q90_except_customers" -> { (s, dir) =>
+      import s.implicits._
+      val cust = s.read.parquet(p(dir, "customer"))
+        .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey".as("k"))
+      val urgent = s.read.parquet(p(dir, "orders"))
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("k"))
+      cust.except(urgent).orderBy($"k")
+    },
+
+    // Custom TYPED aggregation (the Dataset Aggregator API surface): exact
+    // population variance of order totals per priority via integer
+    // whole-dollar power sums — the Aggregator carries (n, sum, sumsq)
+    // exactly, so the distributed merge order cannot change a bit, and the
+    // oracle replays S2/n - mean^2 from the same integers (dollar
+    // quantization keeps sumsq far from BIGINT overflow at any SF).
+    "q91_typed_variance" -> { (s, dir) =>
+      import s.implicits._
+      val agg = udaf(graft.functions.CentsVariance)
+      val d = s.read.parquet(p(dir, "orders"))
+        .select($"o_orderpriority",
+                round($"o_totalprice", 0).cast("bigint").as("dollars"))
+        .groupBy($"o_orderpriority")
+        .agg(agg($"dollars").as("v"))
+      val mean = $"v.sum".cast("double") / $"v.n"
+      d.select($"o_orderpriority", $"v.n".as("n_orders"), $"v.sum".as("sum_dollars"),
+               round($"v.sumsq".cast("double") / $"v.n" - mean * mean, 6)
+                 .as("var_dollars"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ROLLUP: order counts and revenue by (priority, status) with subtotal
+    // and grand-total rows — GROUPING SETS coverage; grouping_id
+    // disambiguates NULL-as-subtotal from NULL data in both engines.
+    "q92_rollup_orders" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(p(dir, "orders"))
+        .select($"o_orderpriority", $"o_orderstatus",
+                round($"o_totalprice" * 100, 0).cast("bigint").as("cents"))
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("revenue_cents"),
+             grouping_id().as("gid"))
+        .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+    },
+
     // Exact order statistics per group — engine percentile functions
     // differ in interpolation, so the quantile is DEFINED deterministically:
     // the value at rank floor((n-1)*p)+1 of the (cents, event_id)-sorted
@@ -276,6 +343,43 @@ object RelationalQueries {
         |       COUNT(*) AS n_rows,
         |       ROUND(CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q89_pivot_hourly" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q90_except_customers" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY k""".stripMargin,
+
+    "q91_typed_variance" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS sum_dollars,
+        |         CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)
+        |                  * CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS sumsq
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n AS n_orders, sum_dollars,
+        |       ROUND(CAST(sumsq AS DOUBLE) / n
+        |             - (CAST(sum_dollars AS DOUBLE) / n) * (CAST(sum_dollars AS DOUBLE) / n),
+        |             6) AS var_dollars
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "q92_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
 
     "q87_exact_quantiles" ->
       """WITH r AS (
