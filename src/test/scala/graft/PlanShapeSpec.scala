@@ -92,4 +92,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(plan, "BroadcastHashJoin") >= 1, "zone cover must broadcast")
     assert(count(plan, "CartesianProduct") == 0)
   }
+
+  test("bucketed tables co-locate the join: SortMergeJoin with ZERO exchanges") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select($"doc_id", $"n_chars").write
+        .bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite")
+        .saveAsTable("b_left")
+      docs.select($"doc_id", $"lang").write
+        .bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite")
+        .saveAsTable("b_right")
+      val joined = spark.table("b_left").join(spark.table("b_right"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(count(plan, "SortMergeJoin") == 1, plan.take(2000))
+      // the whole point of bucketing: both sides pre-partitioned on the
+      // join key, so the join runs with NO shuffle exchange at all
+      assert(count(plan, "Exchange") == 0, plan.take(2000))
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // saveAsTable writes under ./spark-warehouse (static conf) — clean up
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File("spark-warehouse")).deleteRecursively()
+    }
+  }
 }
