@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * Component labels for the undirected graph given as an edge list.
    *
@@ -42,6 +44,22 @@ object ConnectedComponents {
    *         Nodes with no edges are the caller's to add back
    *         (coalesce(lbl, id) after a left join).
    */
+  /** Materialize + SEVER: localCheckpoint truncates the execution lineage
+    * but the returned LogicalRDD still carries origin constraints/stats
+    * referencing the producing plan — chained across loop iterations that
+    * metadata makes Catalyst's per-round planning time grow EXPONENTIALLY
+    * (measured on q85: 0.3 s/round for ~16 rounds, then 1/2/4/9/24 s while
+    * task counts stayed flat and the 25 s round-22 gap sat between jobs,
+    * i.e. pure driver planning). Rebuilding the frame from the checkpointed
+    * RDD drops every reference to the old plan, so each round starts from
+    * a bare leaf. The extra Row conversion runs over the already-cached
+    * checkpoint blocks.
+    */
+  private def materializedLeaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def minLabel(edges: DataFrame, aCol: String, bCol: String,
                maxRounds: Int = 64, edgesDistinct: Boolean = false): DataFrame = {
     val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v")).na.drop()
@@ -51,13 +69,12 @@ object ConnectedComponents {
     // shuffle of the edge list (LSH pair generators already emit this shape)
     val symRaw = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-    val sym = (if (edgesDistinct) symRaw else symRaw.distinct())
-      .localCheckpoint(true)
+    val sym = materializedLeaf(if (edgesDistinct) symRaw else symRaw.distinct())
 
     // round 0: lbl(v) = min(v, neighbors(v))
-    var lbl = sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+    var lbl = materializedLeaf(
+      sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("lbl")))
 
     var round = 0
     var converged = false
@@ -69,19 +86,21 @@ object ConnectedComponents {
         .select(col("id"), col("lbl").as("old"),
                 least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("l1"))
       // (b) pointer jump: follow the adopted label one hop through the
-      // CURRENT label table (labels are ids, so lbl(l1) is defined)
-      // LAZY checkpoint + count in one job: the count is the first consumer,
-      // so it materializes the checkpointed RDD and measures convergence in
-      // a single action per round (an eager checkpoint + isEmpty would be two)
-      val next = prop
+      // current label table (labels are ids, so lbl(l1) is defined). Note
+      // the jump accelerates ID-CHAIN structures (near-dup graphs, paths),
+      // not spatial value waves — grid-shaped inputs should be pre-reduced
+      // with tile-local labeling (Focal.localRegionRoots) so only the tiny
+      // cross-tile root graph reaches this loop.
+      val next = materializedLeaf(prop
         .join(lbl.select(col("id").as("jid"), col("lbl").as("jl")),
               col("l1") === col("jid"), "left")
         .select(col("id"), col("old"),
-                least(col("l1"), coalesce(col("jl"), col("l1"))).as("lbl"))
-        .localCheckpoint(false)
-      converged = next.filter(col("lbl") < col("old")).count() == 0L
+                least(col("l1"), coalesce(col("jl"), col("l1"))).as("lbl")))
+      val changed = next.filter(col("lbl") < col("old")).count()
+      converged = changed == 0L
       lbl = next.select(col("id"), col("lbl"))
       round += 1
+      log.warn(s"connected-components round $round: $changed labels changed")
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     lbl

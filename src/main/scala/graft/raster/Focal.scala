@@ -24,6 +24,11 @@ import graft.model.{Raster, TileGeometry}
 final case class FocalStrip(targetIdx: Int, sx0: Int, sy0: Int, sw: Int, sh: Int,
                             values: Array[Double])
 
+/** One labeled predicate cell from tile-local region labeling: global cell
+  * id, grid coordinates, and the tile-local component root's global id.
+  * Top-level for the same encoder-codegen reason as [[FocalStrip]]. */
+final case class CellRoot(cell: Long, cx: Long, cy: Long, root: Long)
+
 object Focal {
 
   /**
@@ -284,6 +289,72 @@ object Focal {
       kernel(pad, w, h, out)
       Raster(f"$namePrefix-$idx%04d", 0L, w, h, t.minX, t.maxX, t.minY, t.maxY, t.epsg,
              out.toSeq)
+    }
+  }
+
+  /**
+   * Phase 1 of two-level raster region labeling (the distributed
+   * GDAL-polygonize design): each tile labels its OWN predicate cells with
+   * a sequential union-find (no shuffle, no halo), emitting one
+   * (cell, cx, cy, root) row per predicate cell where `root` is the
+   * GLOBAL id of the component's minimum cell within the tile (tile-local
+   * (x, y) lexicographic order equals global-id order, so local minima are
+   * globally comparable). Phase 2 is the caller's: adjacent cells in
+   * DIFFERENT tiles with different roots form a root graph orders of
+   * magnitude smaller than the grid — cross-tile merges only — which
+   * ConnectedComponents closes in a few rounds regardless of the regions'
+   * spatial diameter (min-label propagation on raw grid cells walks value
+   * waves one cell per round; this contracts each tile to O(regions) nodes
+   * first).
+   */
+  def localRegionRoots(tiles: Dataset[Raster], region: TileGeometry)
+                      (pred: Double => Boolean): Dataset[CellRoot] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val hReg = region.height
+    val r0ref = region
+    tiles.flatMap { r =>
+      val x0 = math.round((r.minX - r0ref.minX) / r0ref.cellWidth).toInt
+      val y0 = math.round((r.minY - r0ref.minY) / r0ref.cellHeight).toInt
+      val w = r.width; val h = r.height; val v = r.bands.head
+      val parent = Array.tabulate(w * h)(i => i)
+      def find(x: Int): Int = {
+        var p = x
+        while (parent(p) != p) { parent(p) = parent(parent(p)); p = parent(p) }
+        p
+      }
+      @inline def ok(i: Int) = pred(v(i))
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val i = x * h + y
+          if (ok(i)) {
+            if (x + 1 < w && ok(i + h)) {
+              val a = find(i); val b = find(i + h)
+              if (a != b) parent(math.max(a, b)) = math.min(a, b)
+            }
+            if (y + 1 < h && ok(i + 1)) {
+              val a = find(i); val b = find(i + 1)
+              if (a != b) parent(math.max(a, b)) = math.min(a, b)
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+      val out = Seq.newBuilder[CellRoot]
+      var i = 0
+      while (i < w * h) {
+        if (ok(i)) {
+          val rt = find(i)
+          out += CellRoot((x0 + i / h).toLong * hReg + (y0 + i % h),
+                          (x0 + i / h).toLong, (y0 + i % h).toLong,
+                          (x0 + rt / h).toLong * hReg + (y0 + rt % h))
+        }
+        i += 1
+      }
+      out.result()
     }
   }
 

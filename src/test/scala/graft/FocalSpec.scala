@@ -159,4 +159,32 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((v.isNaN && many(k).isNaN) || v === many(k), s"$k: $v vs ${many(k)}")
     }
   }
+
+  test("two-level region labeling is tiling-transparent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val region = TileGeometry(60, 40, 0, 6, 0, 4, 4326, 0, 0)
+    def regions(maxCells: Long): Map[Long, Long] = {
+      val roots = Focal.localRegionRoots(
+          Focal.terrainTiles(spark, region, maxCells = maxCells), region)(_ < 1500.0)
+        .toDF().localCheckpoint(true)
+      val e1 = roots.as("a").join(roots.as("b"),
+        col("a.cx") + 1 === col("b.cx") && col("a.cy") === col("b.cy")
+          && col("a.root") =!= col("b.root"))
+        .select(col("a.root").as("u"), col("b.root").as("v"))
+      val e2 = roots.as("a").join(roots.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") + 1 === col("b.cy")
+          && col("a.root") =!= col("b.root"))
+        .select(col("a.root").as("u"), col("b.root").as("v"))
+      val comp = graft.operators.ConnectedComponents.minLabel(e1.union(e2), "u", "v")
+        .withColumnRenamed("id", "rid").withColumnRenamed("lbl", "region_id")
+      roots.join(comp, col("root") === col("rid"), "left")
+        .select(col("cell"), coalesce(col("region_id"), col("root")).as("rg"))
+        .as[(Long, Long)].collect().toMap
+    }
+    // a single tile's labeling IS plain union-find; finer tilings must agree
+    val oneTile = regions(1000000)
+    val fine = regions(300)
+    assert(oneTile.nonEmpty && oneTile == fine)
+  }
 }
