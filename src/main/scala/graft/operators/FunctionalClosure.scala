@@ -24,20 +24,29 @@ import org.apache.spark.sql.functions._
  */
 object FunctionalClosure {
 
+  /** Checkpoint + rebuild from the RDD: severs the LogicalRDD's origin
+    * constraint/stats references to the producing plan, which otherwise
+    * chain across loop rounds and blow up Catalyst planning time
+    * exponentially (see ConnectedComponents.materializedLeaf — same
+    * failure mode, measured there). */
+  private def materializedLeaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def ancestorPairs(edges: DataFrame, uCol: String, vCol: String,
                     maxRounds: Int = 48): DataFrame = {
-    var t = edges.select(col(uCol).as("u"), col(vCol).as("v")).na.drop()
-      .distinct().localCheckpoint(true)
+    var t = materializedLeaf(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")).na.drop().distinct())
     var size = t.count()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = t
+      val next = materializedLeaf(t
         .union(t.as("a").join(t.as("b"), col("a.v") === col("b.u"))
           .select(col("a.u").as("u"), col("b.v").as("v")))
-        .distinct()
-        .localCheckpoint(false)
-      val n2 = next.count() // materializes the lazy checkpoint too
+        .distinct())
+      val n2 = next.count()
       converged = n2 == size
       size = n2
       t = next
