@@ -46,6 +46,35 @@ object Geo {
   def latSql(id: String): String =
     s"$MinY + CAST(($id * 104729) % 100000 AS DOUBLE) / 100000.0 * ($MaxY - $MinY)"
 
+  // ---- GeoJSON fixture builders (shared by q56/q57/q75/q78/q84/q86) ----
+  // double->string->double round-trips exactly (Java shortest-repr), so
+  // parsed ring coordinates carry the same bits the arithmetic produced —
+  // the property every oracle replay of these zones relies on.
+
+  /** Closed rect ring as GeoJSON [[x,y],...] text, CCW from (ax, ay). */
+  def rectRingJson(ax: Column, ay: Column, bx: Column, by: Column): Column = {
+    def d(c: Column) = c.cast("string")
+    concat(lit("[["), d(ax), lit(","), d(ay), lit("],["), d(bx), lit(","), d(ay),
+           lit("],["), d(bx), lit(","), d(by), lit("],["), d(ax), lit(","), d(by),
+           lit("],["), d(ax), lit(","), d(ay), lit("]]"))
+  }
+
+  private def joined(parts: Seq[Column]): Column =
+    parts.reduceLeft((a, b) => concat(a, lit(","), b))
+
+  /** Feature with a Polygon geometry (rings beyond the first are holes)
+    * and a single numeric "zone" property. */
+  def polygonFeatureJson(zone: Column, rings: Seq[Column]): Column =
+    concat(lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), zone.cast("string"),
+           lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":["),
+           joined(rings), lit("]}}"))
+
+  /** Feature with a MultiPolygon geometry (each ring = one single-ring part). */
+  def multiPolygonFeatureJson(zone: Column, parts: Seq[Column]): Column =
+    concat(lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), zone.cast("string"),
+           lit("},\"geometry\":{\"type\":\"MultiPolygon\",\"coordinates\":["),
+           joined(parts.map(p => concat(lit("["), p, lit("]")))), lit("]}}"))
+
   /** Document points: (doc_id, lon, lat). */
   def docPoints(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -191,15 +191,8 @@ object SourceQueries {
           .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3 + shiftY)
           .withColumn("x1", $"x0" + w)
           .withColumn("y1", $"y0" + h)
-        def d(c: Column): Column = c.cast("string")
-        val feature = concat(
-          lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-          lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
-          d($"x0"), lit(","), d($"y0"), lit("],["),
-          d($"x1"), lit(","), d($"y0"), lit("],["),
-          d($"x1"), lit(","), d($"y1"), lit("],["),
-          d($"x0"), lit(","), d($"y1"), lit("],["),
-          d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+        val feature = Geo.polygonFeatureJson($"k",
+          Seq(Geo.rectRingJson($"x0", $"y0", $"x1", $"y1")))
         val xs = filter($"ring", (_, i) => i % 2 === 0)
         val ys = filter($"ring", (_, i) => i % 2 === 1)
         GeoJson.parsePolygons(src.select(feature.as("doc")), "doc")
@@ -234,17 +227,9 @@ object SourceQueries {
         .select($"n_nationkey".cast("long").as("k"))
         .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4)
         .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
-      def d(c: Column): Column = c.cast("string")
-      def rect(ax: Column, ay: Column, bx: Column, by: Column) = concat(
-        lit("[[["), d(ax), lit(","), d(ay), lit("],["), d(bx), lit(","), d(ay),
-        lit("],["), d(bx), lit(","), d(by), lit("],["), d(ax), lit(","), d(by),
-        lit("],["), d(ax), lit(","), d(ay), lit("]]]"))
-      val feature = concat(
-        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-        lit("},\"geometry\":{\"type\":\"MultiPolygon\",\"coordinates\":["),
-        rect($"x0", $"y0", $"x0" + 0.2, $"y0" + 0.15), lit(","),
-        rect($"x0" + 0.25, $"y0" + 0.18, $"x0" + 0.45, $"y0" + 0.28),
-        lit("]}}"))
+      val feature = Geo.multiPolygonFeatureJson($"k", Seq(
+        Geo.rectRingJson($"x0", $"y0", $"x0" + 0.2, $"y0" + 0.15),
+        Geo.rectRingJson($"x0" + 0.25, $"y0" + 0.18, $"x0" + 0.45, $"y0" + 0.28)))
       val zones = GeoJson.parseFeatures(zonesSrc.select(feature.as("doc")), "doc")
         .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"rings")
       val span = 100000.0
@@ -272,17 +257,9 @@ object SourceQueries {
         .select($"n_nationkey".cast("long").as("k"))
         .withColumn("x0", lit(Geo.minX) + ($"k" % 5).cast("double") * 0.4)
         .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
-      def d(c: Column): Column = c.cast("string")
-      def ringJson(ax: Column, ay: Column, bx: Column, by: Column) = concat(
-        lit("[["), d(ax), lit(","), d(ay), lit("],["), d(bx), lit(","), d(ay),
-        lit("],["), d(bx), lit(","), d(by), lit("],["), d(ax), lit(","), d(by),
-        lit("],["), d(ax), lit(","), d(ay), lit("]]"))
-      val feature = concat(
-        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":["),
-        ringJson($"x0", $"y0", $"x0" + 0.5, $"y0" + 0.35), lit(","),
-        ringJson($"x0" + 0.1, $"y0" + 0.1, $"x0" + 0.2, $"y0" + 0.2),
-        lit("]}}"))
+      val feature = Geo.polygonFeatureJson($"k", Seq(
+        Geo.rectRingJson($"x0", $"y0", $"x0" + 0.5, $"y0" + 0.35),
+        Geo.rectRingJson($"x0" + 0.1, $"y0" + 0.1, $"x0" + 0.2, $"y0" + 0.2)))
       val zones = GeoJson.parseFeatures(zonesSrc.select(feature.as("doc")), "doc")
         .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"rings")
       val span = 100000.0
@@ -316,15 +293,8 @@ object SourceQueries {
         .withColumn("y0", floor($"k" / 5.0).cast("double") * 1.6)
         .withColumn("x1", $"x0" + 1.9)
         .withColumn("y1", $"y0" + 1.5)
-      def d(c: org.apache.spark.sql.Column) = c.cast("string")
-      val feature = concat(
-        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
-        d($"x0"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val feature = Geo.polygonFeatureJson($"k",
+        Seq(Geo.rectRingJson($"x0", $"y0", $"x1", $"y1")))
       val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
         .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
         .filter($"ring".isNotNull)
@@ -364,15 +334,8 @@ object SourceQueries {
         .withColumn("y0", lit(Geo.minY) + floor($"k" / 5.0).cast("double") * 0.3)
         .withColumn("x1", $"x0" + 0.5)
         .withColumn("y1", $"y0" + 0.35)
-      def d(c: Column): Column = c.cast("string")
-      val feature = concat(
-        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
-        d($"x0"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val feature = Geo.polygonFeatureJson($"k",
+        Seq(Geo.rectRingJson($"x0", $"y0", $"x1", $"y1")))
       val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
         .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
         .filter($"ring".isNotNull)

@@ -52,21 +52,34 @@ object TerrainQueries {
        |  SELECT cx.cx, cy.cy, $elevationSql AS elev
        |  FROM generate_series(0, ${W - 1}) cx(cx), generate_series(0, ${H - 1}) cy(cy))""".stripMargin
 
+  /** Flatten tiles to (cx, cy, <names...>) rows with region-global indices:
+    * one nullable double column per band, NaN -> NULL. The single shared
+    * coordinate-derivation site for every multi-band terrain query. */
+  private def tilesToRowsN(s: SparkSession,
+                           tiles: org.apache.spark.sql.Dataset[graft.model.Raster],
+                           names: Seq[String]): DataFrame = {
+    import s.implicits._
+    val r0 = region
+    val flat = tiles.flatMap { r =>
+      val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
+      val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
+      for (x <- 0 until r.width; y <- 0 until r.height) yield {
+        val i = x * r.height + y
+        (x0 + x.toLong, y0 + y.toLong,
+         r.bands.map(b => if (java.lang.Double.isNaN(b(i))) None else Some(b(i))))
+      }
+    }.toDF("cx", "cy", "vals")
+    names.zipWithIndex.foldLeft(flat) { case (d, (n, i)) =>
+      d.withColumn(n, element_at($"vals", i + 1))
+    }.drop("vals")
+  }
+
   /** The q79/q80 shared D8 flow-direction table (cx, cy, dir). */
   private def flowDirRows(s: SparkSession): DataFrame = {
     import s.implicits._
-    val r0 = region
-    val terrain = Focal.terrainTiles(s, r0, maxCells = MaxCells)
-    Focal.flowDir(terrain, r0, maxCells = MaxCells).flatMap { r =>
-      val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
-      val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
-      val b = r.bands.head
-      for (x <- 0 until r.width; y <- 0 until r.height) yield {
-        val v = b(x * r.height + y)
-        (x0 + x.toLong, y0 + y.toLong,
-         if (java.lang.Double.isNaN(v)) None else Some(v.toLong))
-      }
-    }.toDF("cx", "cy", "dir")
+    val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
+    tilesToRowsN(s, Focal.flowDir(terrain, region, maxCells = MaxCells), Seq("dir"))
+      .withColumn("dir", $"dir".cast("bigint"))
   }
 
   /** DuckDB CTE chain ending in `dirs(cx, cy, dir)` — the D8 replay shared
@@ -106,19 +119,8 @@ object TerrainQueries {
 
   /** Flatten tiles back to (cx, cy, v) rows with region-global indices. */
   private def tilesToRows(s: SparkSession, tiles: org.apache.spark.sql.Dataset[graft.model.Raster],
-                          col3: String): DataFrame = {
-    import s.implicits._
-    val r0 = region
-    tiles.flatMap { r =>
-      val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
-      val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
-      val vs = r.bands.head
-      for (x <- 0 until r.width; y <- 0 until r.height)
-        yield (x0 + x.toLong, y0 + y.toLong,
-               if (java.lang.Double.isNaN(vs(x * r.height + y))) None
-               else Some(vs(x * r.height + y)))
-    }.toDF("cx", "cy", col3)
-  }
+                          col3: String): DataFrame =
+    tilesToRowsN(s, tiles, Seq(col3))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_terrain" -> { (s, dir) =>
@@ -145,18 +147,9 @@ object TerrainQueries {
       import s.implicits._
       val _ = dir
       val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
-      val r0 = region
-      Focal.aspectHillshade(terrain, r0, maxCells = MaxCells).flatMap { r =>
-        val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
-        val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
-        val oct = r.bands.head; val il = r.bands(1)
-        for (x <- 0 until r.width; y <- 0 until r.height) yield {
-          val i = x * r.height + y
-          (x0 + x.toLong, y0 + y.toLong,
-           if (java.lang.Double.isNaN(oct(i))) None else Some(oct(i).toLong),
-           if (java.lang.Double.isNaN(il(i))) None else Some(il(i)))
-        }
-      }.toDF("cx", "cy", "octant", "illum")
+      tilesToRowsN(s, Focal.aspectHillshade(terrain, region, maxCells = MaxCells),
+                   Seq("octant", "illum"))
+        .withColumn("octant", $"octant".cast("bigint"))
         .orderBy($"cx", $"cy")
     },
 
@@ -261,18 +254,8 @@ object TerrainQueries {
       import s.implicits._
       val _ = dir
       val terrain = Focal.terrainTiles(s, region, maxCells = MaxCells)
-      val r0 = region
-      Focal.curvatures(terrain, r0, maxCells = MaxCells).flatMap { r =>
-        val x0 = math.round((r.minX - r0.minX) / r0.cellWidth).toInt
-        val y0 = math.round((r.minY - r0.minY) / r0.cellHeight).toInt
-        val pr = r.bands.head; val pl = r.bands(1)
-        for (x <- 0 until r.width; y <- 0 until r.height) yield {
-          val i = x * r.height + y
-          (x0 + x.toLong, y0 + y.toLong,
-           if (java.lang.Double.isNaN(pr(i))) None else Some(pr(i)),
-           if (java.lang.Double.isNaN(pl(i))) None else Some(pl(i)))
-        }
-      }.toDF("cx", "cy", "profile_curv", "plan_curv")
+      tilesToRowsN(s, Focal.curvatures(terrain, region, maxCells = MaxCells),
+                   Seq("profile_curv", "plan_curv"))
         .orderBy($"cx", $"cy")
     },
 
@@ -328,15 +311,8 @@ object TerrainQueries {
         .withColumn("y0", floor($"k" / 5.0).cast("double") * 1.6)
         .withColumn("x1", $"x0" + 1.9)
         .withColumn("y1", $"y0" + 1.5)
-      def d(c: org.apache.spark.sql.Column) = c.cast("string")
-      val feature = concat(
-        lit("{\"type\":\"Feature\",\"properties\":{\"zone\":"), $"k".cast("string"),
-        lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
-        d($"x0"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y0"), lit("],["),
-        d($"x1"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y1"), lit("],["),
-        d($"x0"), lit(","), d($"y0"), lit("]]]}}"))
+      val feature = Geo.polygonFeatureJson($"k",
+        Seq(Geo.rectRingJson($"x0", $"y0", $"x1", $"y1")))
       val zones = GeoJson.parsePolygons(zonesSrc.select(feature.as("doc")), "doc")
         .select(element_at($"properties", "zone").cast("long").as("zone_id"), $"ring")
         .filter($"ring".isNotNull)

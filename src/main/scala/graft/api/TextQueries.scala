@@ -337,8 +337,13 @@ object TextQueries {
     // doc_id % 17 == 0 stand in for the benchmark; a real pipeline feeds
     // eval-set documents). Stop-grams occurring in > DecontamGramCap bench
     // docs are dropped (logged) so one boilerplate phrase can't fan a
-    // shuffle partition out to the whole corpus; the kept bench-gram table
-    // is tiny by construction and BROADCAST into the probe.
+    // shuffle partition out to the whole corpus. The kept bench-gram table
+    // is BROADCAST: that is right because real benchmark sets are EVAL
+    // SUITES — bounded (millions of grams at most), independent of corpus
+    // size. The cap bounds per-gram fan-out, NOT the table; if the "bench"
+    // side ever scales with the corpus (this fixture's %17 slice would at
+    // 100 TB), drop the broadcast() hint and let the gram join shuffle —
+    // the rest of the plan is unchanged.
     "q49_decontaminate" -> { (s, dir) =>
       import s.implicits._
       val toks = s.read.parquet(s"$dir/documents.parquet")

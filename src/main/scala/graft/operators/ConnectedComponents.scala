@@ -44,21 +44,7 @@ object ConnectedComponents {
    *         Nodes with no edges are the caller's to add back
    *         (coalesce(lbl, id) after a left join).
    */
-  /** Materialize + SEVER: localCheckpoint truncates the execution lineage
-    * but the returned LogicalRDD still carries origin constraints/stats
-    * referencing the producing plan — chained across loop iterations that
-    * metadata makes Catalyst's per-round planning time grow EXPONENTIALLY
-    * (measured on q85: 0.3 s/round for ~16 rounds, then 1/2/4/9/24 s while
-    * task counts stayed flat and the 25 s round-22 gap sat between jobs,
-    * i.e. pure driver planning). Rebuilding the frame from the checkpointed
-    * RDD drops every reference to the old plan, so each round starts from
-    * a bare leaf. The extra Row conversion runs over the already-cached
-    * checkpoint blocks.
-    */
-  private def materializedLeaf(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  import IterativeLoops.materializedLeaf
 
   def minLabel(edges: DataFrame, aCol: String, bCol: String,
                maxRounds: Int = 64, edgesDistinct: Boolean = false): DataFrame = {

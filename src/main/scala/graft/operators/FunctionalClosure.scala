@@ -24,15 +24,7 @@ import org.apache.spark.sql.functions._
  */
 object FunctionalClosure {
 
-  /** Checkpoint + rebuild from the RDD: severs the LogicalRDD's origin
-    * constraint/stats references to the producing plan, which otherwise
-    * chain across loop rounds and blow up Catalyst planning time
-    * exponentially (see ConnectedComponents.materializedLeaf — same
-    * failure mode, measured there). */
-  private def materializedLeaf(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  import IterativeLoops.materializedLeaf
 
   def ancestorPairs(edges: DataFrame, uCol: String, vCol: String,
                     maxRounds: Int = 48): DataFrame = {

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Shared machinery for DataFrame FIXPOINT LOOPS (connected components,
+ * transitive closure, any iterate-until-stable dataflow).
+ */
+object IterativeLoops {
+
+  /**
+   * Materialize + SEVER: `localCheckpoint` truncates the execution lineage,
+   * but the returned LogicalRDD still carries origin constraints/stats
+   * referencing the producing plan — chained across loop iterations, that
+   * metadata makes Catalyst's per-round PLANNING time grow EXPONENTIALLY
+   * (measured on q85's 22-round CC: flat 0.3 s/round for ~16 rounds, then
+   * 1/2/4/9/24 s while task counts stayed flat and the 25 s round-22 gap
+   * sat between jobs — pure driver planning; invisible below ~15 rounds).
+   * Rebuilding the frame from the checkpointed RDD drops every reference
+   * to the old plan, so each round starts from a bare leaf. The extra Row
+   * conversion runs over the already-cached checkpoint blocks.
+   *
+   * Every loop round MUST route its new state through this — a plain
+   * localCheckpoint is not enough.
+   */
+  def materializedLeaf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+}

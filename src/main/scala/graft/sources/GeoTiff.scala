@@ -421,82 +421,73 @@ object GeoTiff {
     val Clear = 256; val Eoi = 257
     val out = new Array[Byte](expected)
     var outPos = 0
-    // dictionary as (prefix code, appended byte); -1 prefix = root literal
+    // ALLOCATION-FREE inner loop (this runs once per code while ingesting
+    // multi-GB LZW rasters): dictionary entries are (start, len) spans into
+    // the already-decoded output — the entry for prev+firstByte(current) is
+    // always the contiguous bytes [prevStart, prevStart + prevLen + 1)
+    // because consecutive emissions are adjacent in `out` — so emitting is
+    // one arraycopy, and codes come from a 64-bit accumulator instead of
+    // per-bit array reads.
     val maxEntries = 4096
-    val prefix = new Array[Int](maxEntries)
-    val append = new Array[Byte](maxEntries)
+    val start = new Array[Int](maxEntries)
+    val len = new Array[Int](maxEntries)
     var nextEntry = 258
     var width = 9
-    var bitPos = 0L
-    val totalBits = data.length.toLong * 8
+    var acc = 0L; var nAcc = 0; var pos = 0
 
     def readCode(): Int = {
-      if (bitPos + width > totalBits) return Eoi // truncated stream: stop
-      var v = 0
-      var i = 0
-      while (i < width) {
-        val b = (data(((bitPos + i) >> 3).toInt) >> (7 - ((bitPos + i) & 7)) & 1)
-        v = (v << 1) | b
-        i += 1
+      while (nAcc < width) {
+        if (pos >= data.length) return Eoi // truncated stream: stop
+        acc = (acc << 8) | (data(pos) & 0xffL); pos += 1; nAcc += 8
       }
-      bitPos += width
-      v
+      nAcc -= width
+      ((acc >>> nAcc) & ((1 << width) - 1)).toInt
     }
 
-    def emit(code: Int): Int = { // writes the string for `code`, returns first byte
-      if (code < 256) {
-        if (outPos < expected) { out(outPos) = code.toByte; outPos += 1 }
-        code
-      } else {
-        // walk to the root collecting bytes in reverse
-        var stack = List.empty[Byte]
-        var c = code
-        while (c >= 256) { stack = append(c) :: stack; c = prefix(c) }
-        stack = c.toByte :: stack
-        val first = c
-        stack.foreach { b => if (outPos < expected) { out(outPos) = b; outPos += 1 } }
-        first
-      }
-    }
-
-    @inline def firstOf(code: Int): Int = {
-      var c = code
-      while (c >= 256) c = prefix(c)
-      c
-    }
     @inline def widen(): Unit = // early change: grow one code early
       if (width < 12 && nextEntry >= (1 << width) - 1) width += 1
 
-    var prev = -1
+    var prevStart = -1; var prevLen = 0
     var done = false
     while (!done && outPos < expected) {
       val code = readCode()
       if (code == Eoi) done = true
       else if (code == Clear) {
-        nextEntry = 258; width = 9; prev = -1
-      } else if (prev < 0) {
+        nextEntry = 258; width = 9; prevStart = -1; prevLen = 0
+      } else if (prevStart < 0) {
         require(code < 256, s"corrupt LZW stream: first code $code after clear")
-        emit(code)
-        prev = code
+        prevStart = outPos; prevLen = 1
+        out(outPos) = code.toByte; outPos += 1
       } else {
         require(code <= nextEntry, s"corrupt LZW stream: code $code, table $nextEntry")
-        if (code == nextEntry) {
-          // KwKwK: the string is prev's string + prev's first byte — define
-          // the entry first, then emit it
+        val emitStart = outPos
+        var emitLen = 0
+        if (code < 256) {
+          out(outPos) = code.toByte; outPos += 1
+          emitLen = 1
+        } else if (code < nextEntry) {
+          val l = math.min(len(code), expected - outPos)
+          System.arraycopy(out, start(code), out, outPos, l)
+          outPos += l
+          emitLen = len(code)
+        } else {
+          // KwKwK: the string is prev's string + prev's first byte
           require(nextEntry < maxEntries, "corrupt LZW stream: table overflow")
-          prefix(nextEntry) = prev; append(nextEntry) = firstOf(prev).toByte
+          val total = prevLen + 1
+          val l = math.min(total, expected - outPos)
+          System.arraycopy(out, prevStart, out, outPos, math.min(prevLen, l))
+          if (l > prevLen) out(outPos + prevLen) = out(prevStart)
+          outPos += l
+          emitLen = total
+        }
+        // new entry = prev string + first byte of this emission, which sit
+        // contiguously at [prevStart, prevStart + prevLen + 1)
+        if (nextEntry < maxEntries) {
+          start(nextEntry) = prevStart; len(nextEntry) = prevLen + 1
           nextEntry += 1
           widen()
-          emit(code)
-        } else {
-          val fb = emit(code)
-          if (nextEntry < maxEntries) {
-            prefix(nextEntry) = prev; append(nextEntry) = fb.toByte
-            nextEntry += 1
-            widen()
-          }
         }
-        prev = code
+        prevStart = emitStart; prevLen = emitLen
       }
     }
     require(outPos == expected, s"short LZW decode: $outPos of $expected bytes")

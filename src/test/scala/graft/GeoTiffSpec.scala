@@ -535,7 +535,10 @@ class GeoTiffSpec extends AnyFunSuite {
           case None =>
             put(cur)
             dict((cur, b)) = next; next += 1
-            if (width < 12 && next >= (1 << width) - 1) width += 1
+            // the ENCODER's table runs one entry ahead of the decoder's,
+            // so it widens at 2^w (the decoder's early change at 2^w - 1
+            // lands on the same code position)
+            if (width < 12 && next >= (1 << width)) width += 1
             cur = b & 0xff
         }
       }
@@ -591,6 +594,57 @@ class GeoTiffSpec extends AnyFunSuite {
     for (row <- 0 until h; x <- 0 until w)
       assert(img.getSampleFloat(x, row, 0) == vals(row * w + x), s"jdk ($x,$row)")
     reader.dispose()
+  }
+
+  test("LZW decode survives width growth to 12 bits and a full table") {
+    // random (incompressible) input grows the dictionary fast: ~20 KB
+    // crosses the 9->10->11->12-bit boundaries and fills the 4096-entry
+    // table — the cadence the repetitive strip test never reaches. The
+    // spec-side encoder was independently cross-checked against the JDK
+    // TIFF reader in the LZW strip test above.
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nAcc = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code; nAcc += width
+        while (nAcc >= 8) { bits.write(((acc >> (nAcc - 8)) & 0xff).toInt); nAcc -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap[(Int, Byte), Int]()
+      var next = 258
+      put(256)
+      var cur = -1
+      data.foreach { b =>
+        if (cur < 0) cur = b & 0xff
+        else dict.get((cur, b)) match {
+          case Some(c) => cur = c
+          case None =>
+            put(cur)
+            if (next < 4096) {
+              dict((cur, b)) = next; next += 1
+              // the ENCODER's table runs one entry ahead of the decoder's,
+            // so it widens at 2^w (the decoder's early change at 2^w - 1
+            // lands on the same code position)
+            if (width < 12 && next >= (1 << width)) width += 1
+            }
+            cur = b & 0xff
+        }
+      }
+      if (cur >= 0) put(cur)
+      put(257)
+      if (nAcc > 0) bits.write(((acc << (8 - nAcc)) & 0xff).toInt)
+      bits.toByteArray
+    }
+    val rnd = new java.util.Random(424242L)
+    for (n <- Seq(300, 5000, 20000)) {
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      val decoded = GeoTiff.lzwDecode(lzwEncode(payload), n)
+      assert(java.util.Arrays.equals(decoded, payload), s"n=$n")
+    }
+    // and a KwKwK-heavy run (aaaa...) for the copy-overlap path
+    val runs = Array.fill(4096)('a'.toByte)
+    assert(java.util.Arrays.equals(GeoTiff.lzwDecode(lzwEncode(runs), 4096), runs))
   }
 
   test("truncated DEFLATE data fails instead of hanging") {
