@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
 
 /**
  * Per-round benchmark main (driver contract): runs every SparkEntry query on
@@ -19,11 +23,106 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * irreproducible. Failures are never silent: a failed query records -1 in
  * "queries", lands in "errors" with its exception, and prints a full stack
  * to stderr.
+ *
+ * SELF-DIAGNOSIS (round 4): three consecutive rounds produced one-shot
+ * driver numbers that disagreed with steady-state local runs by 10-30x on a
+ * handful of queries, and the bench could not say WHY. Every measured query
+ * now records enough telemetry to separate the three candidate causes:
+ *
+ *  - engine regression  -> task_sec tracks wall (work really grew);
+ *  - GC / memory storm  -> gc_sec and task_gc_sec dominate wall, heap near
+ *    heap_max (also the motivation for the per-query cache hygiene below);
+ *  - host event (thermal throttle / external contention) -> mhz_mean drops
+ *    during the query and/or other_cpu_cores shows non-benchmark load.
+ *
+ * Hygiene: after every query (warmup and measured) the cached-relation map
+ * and all persistent RDDs are dropped. Eager localCheckpoints (q65/q70/q76
+ * and every fixpoint round) otherwise accumulate MEMORY_AND_DISK blocks for
+ * the whole 92-query run — the ContextCleaner only reaps them after a
+ * driver GC, which a large-heap one-shot JVM may never run — squeezing
+ * execution memory exactly in the checkpoint-heavy query block. A fixed,
+ * documented cooldown (SPARK_GRAFT_COOLDOWN_SEC, default 25 s, untimed)
+ * separates the warmup pass from the measured pass because sustained
+ * all-core load depresses this host's clock for ~20 s afterwards
+ * (BENCH.md, measurement-discipline note).
  */
 object Bench {
 
   def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  // ---------- host probes (Linux; degrade to -1 when unreadable) ----------
+
+  private def readProc(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)))) catch { case _: Exception => None }
+
+  /** Mean "cpu MHz" across cores — sampled DURING queries to catch
+    * frequency throttling while it happens (idle MHz is meaningless on an
+    * ondemand governor). */
+  def cpuMhz(): Double = readProc("/proc/cpuinfo").map { s =>
+    var sum = 0.0; var n = 0
+    s.linesIterator.foreach { l =>
+      if (l.startsWith("cpu MHz")) { sum += l.substring(l.indexOf(':') + 1).trim.toDouble; n += 1 }
+    }
+    if (n == 0) -1.0 else sum / n
+  }.getOrElse(-1.0)
+
+  /** Whole-host busy jiffies (user+nice+system+irq+softirq+steal) from the
+    * aggregate cpu line of /proc/stat. */
+  def hostBusyJiffies(): Long = readProc("/proc/stat").flatMap { s =>
+    s.linesIterator.find(_.startsWith("cpu ")).map { l =>
+      val f = l.trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      def g(i: Int): Long = if (i < f.length) f(i).toLong else 0L
+      g(1) + g(2) + g(3) + g(6) + g(7) + g(8)
+    }
+  }.getOrElse(-1L)
+
+  /** This process's utime+stime jiffies from /proc/self/stat (fields 14/15,
+    * counted after the parenthesized comm which may contain spaces). */
+  def procJiffies(): Long = readProc("/proc/self/stat").map { s =>
+    val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    rest(11).toLong + rest(12).toLong // state is rest(0) -> utime is field 14
+  }.getOrElse(-1L)
+
+  private def gcStats(): (Long, Long) = {
+    var ms = 0L; var n = 0L
+    ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
+      if (b.getCollectionTime > 0) ms += b.getCollectionTime
+      if (b.getCollectionCount > 0) n += b.getCollectionCount
+    }
+    (ms, n)
+  }
+
+  /** Background thread sampling cpu MHz every 200 ms into per-window
+    * accumulators, so each query gets the clock distribution observed while
+    * it ran (min = deepest throttle seen). */
+  private final class MhzSampler extends Thread("graft-mhz-sampler") {
+    setDaemon(true)
+    private var sum = 0.0; private var min = Double.MaxValue; private var n = 0
+    @volatile private var halted = false
+    def reset(): Unit = synchronized { sum = 0.0; min = Double.MaxValue; n = 0 }
+    /** (mean, min) over the window; (-1,-1) if no sample landed. */
+    def window(): (Double, Double) = synchronized {
+      if (n == 0) (-1.0, -1.0) else (sum / n, min)
+    }
+    def shutdown(): Unit = halted = true
+    override def run(): Unit = while (!halted) {
+      val m = cpuMhz()
+      if (m > 0) synchronized { sum += m; min = math.min(min, m); n += 1 }
+      Thread.sleep(200)
+    }
+  }
+
+  /** Drop every cached relation and persistent RDD (localCheckpoint blocks
+    * included) so no query's storage lingers into the next measurement. */
+  def cleanup(spark: SparkSession): Unit = {
+    try spark.catalog.clearCache() catch { case _: Exception => () }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Exception => () }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,6 +137,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // executor-side task accounting (local mode: same JVM, async listener
+    // bus — captured a beat after each action returns; tasks of a completed
+    // job are posted by then in practice, and a 50 ms grace covers backlog)
+    val taskMs = new AtomicLong; val taskGcMs = new AtomicLong; val nTasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+          nTasks.incrementAndGet()
+        }
+      }
+    })
+    val sampler = new MhzSampler; sampler.start()
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
       body
@@ -51,28 +166,71 @@ object Bench {
       val small = new java.io.File(sfDir).getParent + "/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try force(fn(spark, warmDir))
-      catch { case t: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: $t")
+    val warmupSec = time {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try force(fn(spark, warmDir))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: $t")
+        }
+        cleanup(spark)
       }
     }
 
+    // cooldown before the measured pass: reap freed blocks now (one full GC
+    // here instead of pressure later) and let the host clock recover from
+    // the sustained warmup load. Untimed by construction.
+    val cooldownSec = sys.env.getOrElse("SPARK_GRAFT_COOLDOWN_SEC", "25").toInt
+    val mhzBeforeCooldown = cpuMhz()
+    System.gc()
+    Thread.sleep(cooldownSec * 1000L)
+    val mhzAfterCooldown = cpuMhz()
+
+    case class Tele(gcSec: Double, gcN: Long, heapMb: Long, taskSec: Double,
+                    taskGcSec: Double, tasks: Long, procCpuSec: Double,
+                    otherCpuSec: Double, mhzMean: Double, mhzMin: Double)
+    val telemetry = scala.collection.mutable.LinkedHashMap[String, Tele]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def measured(name: String)(body: => Unit): Double = {
+      val (gc0, gn0) = gcStats()
+      val tm0 = taskMs.get(); val tg0 = taskGcMs.get(); val nt0 = nTasks.get()
+      val hb0 = hostBusyJiffies(); val pj0 = procJiffies()
+      sampler.reset()
+      val sec = time(body)
+      Thread.sleep(50) // listener-bus grace
+      val (gc1, gn1) = gcStats()
+      val hb1 = hostBusyJiffies(); val pj1 = procJiffies()
+      val (mhzMean, mhzMin) = sampler.window()
+      val rt = Runtime.getRuntime
+      val procCpu = if (pj0 >= 0 && pj1 >= 0) (pj1 - pj0) / 100.0 else -1.0
+      val hostBusy = if (hb0 >= 0 && hb1 >= 0) (hb1 - hb0) / 100.0 else -1.0
+      telemetry(name) = Tele(
+        gcSec = (gc1 - gc0) / 1000.0, gcN = gn1 - gn0,
+        heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024),
+        taskSec = (taskMs.get() - tm0) / 1000.0,
+        taskGcSec = (taskGcMs.get() - tg0) / 1000.0,
+        tasks = nTasks.get() - nt0,
+        procCpuSec = procCpu,
+        otherCpuSec = if (procCpu >= 0 && hostBusy >= 0) hostBusy - procCpu else -1.0,
+        mhzMean = mhzMean, mhzMin = mhzMin)
+      sec
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(force(fn(spark, sfDir))) catch {
+      val sec = try measured(name)(force(fn(spark, sfDir))) catch {
         case t: Throwable =>
           errors(name) = t.toString.take(300)
           System.err.println(s"[bench] $name FAILED:")
           t.printStackTrace()
           -1.0
       }
+      cleanup(spark)
       name -> sec
     }
 
     // flagship docs/sec: interleaved docs -> extract -> PIP join + tiles
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val flagshipSec = time {
+    val flagshipSec = measured("flagship") {
       force(SparkEntry.queries("q16_docs_pip")(spark, sfDir))
       force(SparkEntry.queries("q17_span_tiles")(spark, sfDir))
     }
@@ -83,13 +241,27 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    def jnum(d: Double): String =
+      if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val teleJson = telemetry.map { case (k, t) =>
+      jstr(k) + ":{" +
+        s""""gc_sec":${jnum(t.gcSec)},"gc_n":${t.gcN},"heap_mb":${t.heapMb},""" +
+        s""""task_sec":${jnum(t.taskSec)},"task_gc_sec":${jnum(t.taskGcSec)},"tasks":${t.tasks},""" +
+        s""""proc_cpu_sec":${jnum(t.procCpuSec)},"other_cpu_sec":${jnum(t.otherCpuSec)},""" +
+        s""""mhz_mean":${jnum(t.mhzMean)},"mhz_min":${jnum(t.mhzMin)}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       s""""sf":"$sfDir","flagship_docs_per_sec":$docsPerSec,"flagship_sec":$flagshipSec,""" +
-      s""""n_docs":$nDocs,"cpus":$cpus,"warmup_dir":"$warmDir"}""")
+      s""""n_docs":$nDocs,"cpus":$cpus,"warmup_dir":"$warmDir","warmup_sec":${jnum(warmupSec)},""" +
+      s""""heap_max_mb":$heapMaxMb,"cooldown_sec":$cooldownSec,""" +
+      s""""mhz_before_cooldown":${jnum(mhzBeforeCooldown)},"mhz_after_cooldown":${jnum(mhzAfterCooldown)},""" +
+      s""""telemetry":$teleJson}""")
+    sampler.shutdown()
     spark.stop()
   }
 }

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop cached relations + persistent RDDs (eager localCheckpoints)
+      // between queries — 92 accumulated checkpoint footprints otherwise
+      // squeeze execution memory in the checkpoint-heavy tail
+      Bench.cleanup(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
