@@ -166,8 +166,12 @@ object TerrainQueries {
     "q85_basin_regions" -> { (s, dir) =>
       import s.implicits._
       val _ = dir
-      val roots = Focal.localRegionRoots(
-          Focal.terrainTiles(s, region, maxCells = MaxCells), region)(_ < 1300.0)
+      // ONE terrain materialization feeds both the root labeling and the
+      // final cell frame (building the tiles twice is harmless on synthetic
+      // terrain but the wrong pattern for a real input)
+      val tiles = Focal.terrainTiles(s, region, maxCells = MaxCells)
+        .localCheckpoint(true)
+      val roots = Focal.localRegionRoots(tiles, region)(_ < 1300.0)
         .toDF().localCheckpoint(true) // edges (x2) + final labeling read it
       val e1 = roots.as("a").join(roots.as("b"),
           col("a.cx") + 1 === col("b.cx") && col("a.cy") === col("b.cy")
@@ -180,7 +184,7 @@ object TerrainQueries {
       val comp = graft.operators.ConnectedComponents
         .minLabel(e1.union(e2), "u", "v")
         .withColumnRenamed("id", "rid").withColumnRenamed("lbl", "region_id")
-      val cells = tilesToRows(s, Focal.terrainTiles(s, region, maxCells = MaxCells), "elev")
+      val cells = tilesToRows(s, tiles, "elev")
         .filter($"elev" < 1300.0)
         .select(($"cx" * H + $"cy").as("cell"), $"elev")
       cells.join(roots.select($"cell", $"root"), "cell")

@@ -62,19 +62,28 @@ object BucketedSelfJoin {
   def cappedByKey(rows: DataFrame, keyCols: Seq[String], cap: Int,
                   tag: String): DataFrame = {
     ensureListener(rows.sparkSession)
+    val nb = "__graft_n_bucket" // internal marker; underscored against input collisions
     val keys = keyCols.map(col)
-    val oversized = rows.groupBy(keys: _*).agg(count(lit(1)).as("n_bucket"))
-      .filter(col("n_bucket") > cap)
-    // left join against the (tiny, broadcast) oversized set: n_bucket is
-    // non-null exactly on dropped rows, so the observation can count both
-    // rows (sum of 1) and buckets (sum of 1/n_bucket — integral by
-    // construction) without a separate driver-side job
-    val flagged = rows.join(broadcast(oversized), keyCols, "left")
+    val oversized = rows.groupBy(keys: _*).agg(count(lit(1)).as(nb))
+      .filter(col(nb) > cap)
+    // left join against the (tiny, broadcast) oversized set with NULL-SAFE
+    // (<=>) key equality: GROUP BY collects NULL keys into a real group, so
+    // a >cap NULL-key group must be capped (and counted in the observation)
+    // like any other — null-unsafe equality would let it bypass the cap
+    // silently. The marker is non-null exactly on dropped rows, so the
+    // observation counts both rows (sum of 1) and buckets (sum of
+    // 1/n_bucket — integral by construction) without a driver-side job.
+    val in = rows.as("graft_cap_in")
+    val over = oversized.as("graft_cap_over")
+    val cond = keyCols.map(k => col(s"graft_cap_in.$k") <=> col(s"graft_cap_over.$k"))
+      .reduce(_ && _)
+    val flagged = in.join(broadcast(over), cond, "left")
+      .select(rows.columns.map(c => col(s"graft_cap_in.$c")) :+ col(nb): _*)
       .observe(s"graft_bucket_cap_${tag}_${obsCounter.incrementAndGet()}",
-        sum(when(col("n_bucket").isNotNull, 1L).otherwise(0L)).as("n_rows_dropped"),
-        coalesce(sum(when(col("n_bucket").isNotNull,
-          lit(1.0) / col("n_bucket"))), lit(0.0)).as("n_buckets_dropped"))
-    flagged.filter(col("n_bucket").isNull).drop("n_bucket")
+        sum(when(col(nb).isNotNull, 1L).otherwise(0L)).as("n_rows_dropped"),
+        coalesce(sum(when(col(nb).isNotNull,
+          lit(1.0) / col(nb))), lit(0.0)).as("n_buckets_dropped"))
+    flagged.filter(col(nb).isNull).drop(nb)
   }
 
   /**

@@ -21,13 +21,22 @@ import org.apache.spark.sql.functions._
  *
  * Scale: per round, (a) one aggregation of neighbor labels (shuffle on the
  * symmetric edge list, map-side partial min) and (b) one self-join of the
- * label table (pointer jump). Labels only decrease, so the fixpoint check
- * is a cheap any-change probe on the round's already-checkpointed output.
- * Propagation alone needs diameter rounds (a 100 TB corpus chain of
- * near-dups can be long); the jump step follows label pointers one hop,
- * which compounds to doubling — measured round counts grow ~log(diameter)
- * (see ConnectedComponentsSpec's 256-path assertion). Each round is
- * localCheckpoint(true)-bounded so plan lineage stays O(1).
+ * label table (pointer jump). Propagation alone needs diameter rounds (a
+ * 100 TB corpus chain of near-dups can be long); the jump step follows
+ * label pointers one hop, which compounds to doubling — measured round
+ * counts grow ~log(diameter) (see ConnectedComponentsSpec's 256-path
+ * assertion).
+ *
+ * Driver round-trips: rounds run BLIND in blocks of lazily-chained
+ * localCheckpoints (the StacTraversal.walkItems shape) — no job, no action
+ * per round. One job materializes the whole block and ONE probe per block
+ * checks convergence (labels only decrease, so block-start vs block-end
+ * inequality is exact). Block length is ceil(log2 nodes)+1 — the expected
+ * total round count — capped at 12 because chained checkpoint frames
+ * re-enter Catalyst planning with origin references whose cost compounds
+ * per round (measured ~2.3x/round past ~15 chained frames; see BENCH.md's
+ * exponential-planning incident); the block boundary's materializedLeaf
+ * severs the chain.
  */
 object ConnectedComponents {
 
@@ -62,31 +71,67 @@ object ConnectedComponents {
       sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl")))
 
+    // one action up front (on the just-checkpointed labels) sizes the blind
+    // block: doubling converges in ~log2(diameter) <= log2(n) rounds
+    val n = lbl.count()
+    val blockSize = math.max(1, math.min(12,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 1))
+
     var round = 0
-    var converged = false
+    var converged = n == 0L
     while (!converged && round < maxRounds) {
-      // (a) propagate: each node adopts the min label over its neighbors
+      val start = lbl
+      var cur = lbl
+      var steps = 0
+      while (steps < blockSize && round < maxRounds) {
+        // (a) propagate: each node adopts the min label over its neighbors
+        val nbrMin = sym.join(cur.withColumnRenamed("id", "nid"), col("v") === col("nid"))
+          .groupBy(col("u").as("pid")).agg(min(col("lbl")).as("nl"))
+        val prop = cur.join(nbrMin, col("id") === col("pid"), "left")
+          .select(col("id"),
+                  least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("l1"))
+        // (b) pointer jump: follow the adopted label one hop through the
+        // current label table (labels are ids, so lbl(l1) is defined). Note
+        // the jump accelerates ID-CHAIN structures (near-dup graphs, paths),
+        // not spatial value waves — grid-shaped inputs should be pre-reduced
+        // with tile-local labeling (Focal.localRegionRoots) so only the tiny
+        // cross-tile root graph reaches this loop.
+        // LAZY checkpoint: the plan collapses to a flat LogicalRDD now, the
+        // work runs inside the block-end materialization job — no action,
+        // no job launched here.
+        cur = prop
+          .join(cur.select(col("id").as("jid"), col("lbl").as("jl")),
+                col("l1") === col("jid"), "left")
+          .select(col("id"),
+                  least(col("l1"), coalesce(col("jl"), col("l1"))).as("lbl"))
+          .localCheckpoint(false)
+        steps += 1
+        round += 1
+      }
+      // block boundary: ONE job materializes all chained rounds and severs
+      // the frame; ONE probe compares block start vs end (labels only
+      // decrease, so any change shows as a strict drop)
+      val next = materializedLeaf(cur)
+      val changed = next
+        .join(start.select(col("id").as("sid"), col("lbl").as("l0")),
+              col("id") === col("sid"))
+        .filter(col("lbl") < col("l0")).count()
+      converged = changed == 0L
+      lbl = next
+      // info, not warn: round progress is normal operation (warn is reserved
+      // for data-affecting events, matching BucketedSelfJoin's convention)
+      log.info(s"connected-components: $round rounds run, " +
+        s"$changed labels changed in the last $steps-round block")
+    }
+    if (!converged && round >= maxRounds) {
+      // rounds exhausted with changes somewhere inside the last block — the
+      // fixpoint may still have been reached mid-block (block probes only
+      // see start vs end). One verification round decides exactly.
       val nbrMin = sym.join(lbl.withColumnRenamed("id", "nid"), col("v") === col("nid"))
         .groupBy(col("u").as("pid")).agg(min(col("lbl")).as("nl"))
-      val prop = lbl.join(nbrMin, col("id") === col("pid"), "left")
-        .select(col("id"), col("lbl").as("old"),
-                least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("l1"))
-      // (b) pointer jump: follow the adopted label one hop through the
-      // current label table (labels are ids, so lbl(l1) is defined). Note
-      // the jump accelerates ID-CHAIN structures (near-dup graphs, paths),
-      // not spatial value waves — grid-shaped inputs should be pre-reduced
-      // with tile-local labeling (Focal.localRegionRoots) so only the tiny
-      // cross-tile root graph reaches this loop.
-      val next = materializedLeaf(prop
-        .join(lbl.select(col("id").as("jid"), col("lbl").as("jl")),
-              col("l1") === col("jid"), "left")
-        .select(col("id"), col("old"),
-                least(col("l1"), coalesce(col("jl"), col("l1"))).as("lbl")))
-      val changed = next.filter(col("lbl") < col("old")).count()
+      val changed = lbl.join(nbrMin, col("id") === col("pid"), "left")
+        .filter(coalesce(col("nl"), col("lbl")) < col("lbl")).count()
       converged = changed == 0L
-      lbl = next.select(col("id"), col("lbl"))
-      round += 1
-      log.warn(s"connected-components round $round: $changed labels changed")
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     lbl

@@ -194,8 +194,17 @@ object Mosaic {
         if (p.epsg == region.epsg) (p.minX, p.maxX, p.minY, p.maxY)
         else Crs.transformEnvelope(p.epsg, regionB.value.epsg,
                                    p.minX, p.maxX, p.minY, p.maxY)
-      // kernel apron in region units of the item's own resolution
-      val ax = 2 * (eMaxX - eMinX) / p.width; val ay = 2 * (eMaxY - eMinY) / p.height
+      // kernel apron = 2 cells of the COARSEST subfile this targetCellWidth
+      // can select (overview selection picks the coarsest subfile whose
+      // cells still resolve the target, so the chosen decimation factor is
+      // bounded by targetCellWidth / full-res cell width). Sizing by the
+      // full-res grid alone left Bicubic/Bilinear taps outside the decoded
+      // fragment at overview levels — Resample clamps at the fragment
+      // border, silently diverging from the full-decode path near internal
+      // tile seams (CogMosaicSpec now pins overview x kernel bit-equality).
+      val scw = (eMaxX - eMinX) / p.width; val sch = (eMaxY - eMinY) / p.height
+      val fBound = if (targetCellWidth > 0) math.max(1.0, targetCellWidth / scw) else 1.0
+      val ax = 2 * scw * fBound; val ay = 2 * sch * fBound
       @inline def clamp(v: Int, hi: Int) = math.max(0, math.min(v, hi))
       val txLo = clamp(math.floor((eMinX - ax - regionB.value.minX) / cw).toInt / side, nx - 1)
       val txHi = clamp(math.floor((eMaxX + ax - regionB.value.minX) / cw).toInt / side, nx - 1)

@@ -32,10 +32,10 @@ import graft.model.Raster
  * ([[parseOverview]]) walks the IFD chain and decodes the COARSEST subfile
  * that still resolves the requested cell size — the GeoTools/GDAL
  * read-with-subsampling-hints behavior the reference gets from its
- * GridCoverage readers. Palette TIFFs are out of scope (the reference reads
- * continuous coverages). Classic TIFF only (32-bit offsets, <4 GiB — the
- * tiling discipline keeps per-file sizes far below that; BigTIFF is a
- * non-goal).
+ * GridCoverage readers. Classic TIFF only; the ingest unit is a single byte
+ * array, so the per-file limit is 2 GiB (offsets past the array fail with a
+ * clear diagnostic) — the tiling discipline keeps per-file sizes far below
+ * that; BigTIFF is a non-goal.
  *
  * Pixel order: TIFF rows are top-down; [[Raster]] is column-major with row 0
  * at the south edge (D2_XY) — the codec transposes on both paths, and the
@@ -580,6 +580,12 @@ object GeoTiff {
     * (0 = end of chain). */
   private def readIfd(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
                       ifdOff: Long): (Tags, Long) = {
+    // the ingest unit is a byte array, so any uint32 offset past the array
+    // is unrepresentable — reject with a diagnostic instead of letting
+    // .toInt wrap negative into an ArrayIndexOutOfBounds
+    require(ifdOff >= 0 && ifdOff + 2 <= bytes.length,
+      s"IFD offset $ifdOff out of bounds (${bytes.length} bytes; " +
+        "classic TIFFs over 2 GiB are unsupported — byte-array ingest)")
     val nEntries = buf.getShort(ifdOff.toInt) & 0xffff
     val entries = (0 until nEntries).map { i =>
       val off = ifdOff.toInt + 2 + i * 12

@@ -127,17 +127,22 @@ object DocStream {
     }
   }
 
-  final case class BucketState(members: Seq[Long])
+  final case class BucketState(members: Seq[Long], degenerate: Boolean = false)
 
   /** Per-(band, sig) LSH transition: each arrival pairs with the bucket's
     * REMEMBERED members (candidate pairs a < b, the streaming analog of
-    * BucketedSelfJoin), then joins the state up to `cap` members — beyond
-    * the cap a bucket is degenerate (a stop-signature) and stops
-    * remembering, which bounds per-key state exactly like the batch cap
-    * bounds the self-join. `ttlMs` evicts idle buckets (same trade as
-    * [[dedupUpdate]]). Unit-tested with TestGroupState; at stream level the
-    * composition is readStream -> minhash band signatures -> groupByKey
-    * ((band, sig)) -> flatMapGroupsWithState(this). */
+    * BucketedSelfJoin). Cap semantics MIRROR the batch cap: a bucket that
+    * exceeds `cap` distinct members is a stop-signature — it flips to
+    * `degenerate`, drops its member list (state shrinks to one flag), and
+    * emits NOTHING from then on, exactly as BucketedSelfJoin drops the
+    * whole oversized bucket. The one unavoidable divergence is temporal:
+    * pairs emitted while the bucket was still small cannot be recalled
+    * (batch, seeing the full bucket at once, never emits them) — a
+    * downstream exact-Jaccard refine makes those extra candidates harmless.
+    * `ttlMs` evicts idle buckets (same trade as [[dedupUpdate]]).
+    * Unit-tested with TestGroupState; at stream level the composition is
+    * readStream -> minhash band signatures -> groupByKey ((band, sig)) ->
+    * flatMapGroupsWithState(this). */
   private[graft] def lshBucketUpdate(cap: Int, ttlMs: Long)(
       key: (Int, String), rows: Iterator[Long],
       state: GroupState[BucketState]): Iterator[(Long, Long)] = {
@@ -145,17 +150,26 @@ object DocStream {
       state.remove()
       Iterator.empty
     } else {
-      var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+      val st = state.getOption.getOrElse(BucketState(Seq.empty))
+      var members = st.members
+      var degenerate = st.degenerate
       val out = Seq.newBuilder[(Long, Long)]
-      rows.toSeq.sorted.foreach { id =>
-        if (!members.contains(id)) {
-          members.foreach { m =>
-            out += (if (m < id) (m, id) else (id, m))
+      if (!degenerate) {
+        rows.toSeq.sorted.foreach { id =>
+          if (!degenerate && !members.contains(id)) {
+            if (members.length >= cap) {
+              degenerate = true
+              members = Seq.empty
+            } else {
+              members.foreach { m =>
+                out += (if (m < id) (m, id) else (id, m))
+              }
+              members :+= id
+            }
           }
-          if (members.length < cap) members :+= id
         }
       }
-      state.update(BucketState(members))
+      state.update(BucketState(members, degenerate))
       if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
       out.result().iterator
     }

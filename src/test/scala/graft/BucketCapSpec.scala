@@ -42,6 +42,23 @@ class BucketCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count(p => p._1.startsWith("cap-")) == 100 * 99 / 2)
   }
 
+  test("NULL-key groups are capped too, and an existing n_bucket column survives") {
+    import spark.implicits._
+    // a >cap group whose key is NULL: GROUP BY groups the NULLs together,
+    // and the null-safe cap join must drop them — null-unsafe equality
+    // would let every NULL-key row bypass the cap silently
+    val nullKeyed = (0 until 10).map(i => (s"n-$i", Option.empty[String]))
+    val keptSmall = Seq(("k-1", Some("SIG")), ("k-2", Some("SIG")))
+    val rows = (nullKeyed ++ keptSmall).toDF("doc_id", "sig")
+      // a user column named n_bucket must not collide with the cap's marker
+      .withColumn("n_bucket", lit(42))
+    val kept = BucketedSelfJoin.cappedByKey(rows, Seq("sig"), cap = 5, "nullspec")
+    val ids = kept.select("doc_id").as[String].collect().toSet
+    assert(ids == Set("k-1", "k-2"))
+    assert(kept.columns.toSeq == Seq("doc_id", "sig", "n_bucket"))
+    assert(kept.select("n_bucket").as[Int].collect().forall(_ == 42))
+  }
+
   test("pairs are distinct across buckets (no double-count when two bands agree)") {
     import spark.implicits._
     val sigs = Seq(

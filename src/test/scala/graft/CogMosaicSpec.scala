@@ -72,14 +72,48 @@ class CogMosaicSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bytes = GeoTiff.encode(item, bits = 64, deflate = true,
                                tile = Some((16, 16)), overviews = Seq(2, 4))
     val region = TileGeometry(32, 16, 0.0, 256.0, 0.0, 128.0, 4326, 0L, 0L) // 8-unit cells
-    val viaCog = Mosaic.mergeToTilesCog(
-      spark.createDataset(Seq(CogFile("ov", 1L, bytes))), region,
-      Mosaic.Substitute, maxCells = 200L, targetCellWidth = region.cellWidth)
     val decoded = GeoTiff.parseOverview(bytes, "ov", 1L, region.cellWidth)
     assert(decoded.width == 32) // factor-4 overview chosen
-    val viaFull = Mosaic.mergeToTiles(spark.createDataset(Seq(decoded)), region,
-                                      Mosaic.Substitute, maxCells = 200L)
-    assertSame(tilesOf(viaCog), tilesOf(viaFull), "overview")
+    // all kernels: at overview factor f the fragment cells are f x wider, so
+    // Bilinear/Bicubic taps need the apron sized by the CHOSEN subfile's
+    // grid, not the full-res grid — an undersized apron clamps taps at the
+    // fragment border and diverges near internal tile seams
+    for (kernel <- Seq(Resample.Nearest, Resample.Bilinear, Resample.Bicubic)) {
+      val viaCog = Mosaic.mergeToTilesCog(
+        spark.createDataset(Seq(CogFile("ov", 1L, bytes))), region,
+        Mosaic.Substitute, kernel, maxCells = 200L,
+        targetCellWidth = region.cellWidth)
+      val viaFull = Mosaic.mergeToTiles(spark.createDataset(Seq(decoded)), region,
+                                        Mosaic.Substitute, kernel, maxCells = 200L)
+      assertSame(tilesOf(viaCog), tilesOf(viaFull), s"overview/$kernel")
+    }
+  }
+
+  test("overview apron at a misaligned seam: taps reach past the pixel window") {
+    import spark.implicits._
+    // factor-8 overview (cell = 8 units) + item origin x=7: at the region
+    // tile seam x=112 (side=14 8-unit cells) the last target center before
+    // the seam (x=108) maps to subfile coordinate 12.125, whose outermost
+    // bicubic tap is cell 14 with weight w(1.875) != 0 — but a full-res-
+    // sized apron (2 units = 1/4 subfile cell) windows the fragment to
+    // ceil(13.125) = cell 14 EXCLUSIVE, so the tap clamps to cell 13 while
+    // the full-decode path reads the real value. The factor-bounded apron
+    // (2 cells of the coarsest selectable grid) keeps the tap inside the
+    // fragment. Bit-equality with the full-decode path is the contract.
+    val item = mkItem("ov2", 1L, 128, 64, 7.0, 0.0, 1.0)
+    val bytes = GeoTiff.encode(item, bits = 64, deflate = true,
+                               tile = Some((16, 16)), overviews = Seq(2, 4, 8))
+    val region = TileGeometry(32, 16, 0.0, 256.0, 0.0, 128.0, 4326, 0L, 0L)
+    val decoded = GeoTiff.parseOverview(bytes, "ov2", 1L, region.cellWidth)
+    for (kernel <- Seq(Resample.Bilinear, Resample.Bicubic)) {
+      val viaCog = Mosaic.mergeToTilesCog(
+        spark.createDataset(Seq(CogFile("ov2", 1L, bytes))), region,
+        Mosaic.Substitute, kernel, maxCells = 200L,
+        targetCellWidth = region.cellWidth)
+      val viaFull = Mosaic.mergeToTiles(spark.createDataset(Seq(decoded)), region,
+                                        Mosaic.Substitute, kernel, maxCells = 200L)
+      assertSame(tilesOf(viaCog), tilesOf(viaFull), s"ov-seam/$kernel")
+    }
   }
 
   test("mixed-CRS item windows conservatively and matches the full path") {

@@ -110,10 +110,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s2 = st(Some(DocStream.BucketState(Seq(3L, 7L))))
     assert(f((0, "sig"), Iterator(5L), s2).toSet === Set((3L, 5L), (5L, 7L)))
     assert(s2.get.members === Seq(3L, 7L, 5L))
-    // beyond the cap: arrivals still pair but are no longer remembered
+    // beyond the cap the bucket is a stop-signature (batch parity: an
+    // oversized bucket is dropped WHOLE): the overflowing arrival emits
+    // nothing, state collapses to the degenerate flag
     val s3 = st(Some(DocStream.BucketState(Seq(3L, 7L, 5L))))
-    assert(f((0, "sig"), Iterator(9L), s3).size === 3)
-    assert(s3.get.members === Seq(3L, 7L, 5L)) // state bounded
+    assert(f((0, "sig"), Iterator(9L), s3).isEmpty)
+    assert(s3.get === DocStream.BucketState(Seq.empty, degenerate = true))
+    // ... and every later arrival stays silent
+    val s3b = st(Some(DocStream.BucketState(Seq.empty, degenerate = true)))
+    assert(f((0, "sig"), Iterator(11L, 12L), s3b).isEmpty)
+    assert(s3b.get.degenerate)
     // duplicate arrival: no self-pair, no growth
     val s4 = st(Some(DocStream.BucketState(Seq(3L, 7L))))
     assert(f((0, "sig"), Iterator(3L), s4).isEmpty)
