@@ -14,9 +14,19 @@ import org.apache.spark.sql.functions._
  *  - a Catalyst Column (stays inside whole-stage codegen — the hot path);
  *  - a Double => Double closure (for the dense per-tile kernels).
  *
- * Grammar: expr := term (('+'|'-') term)* ; term := factor (('*'|'/'|'%') factor)* ;
- * factor := '-'? atom ('^' factor)? ; atom := number | 'self' | fn '(' expr ')'
- * | '(' expr ')' ; fn in {abs, sqrt, log, exp, sin, cos}.
+ * Grammar (Groovy's conditional subset included — reference scripts branch,
+ * e.g. `self > 0 ? self : 0`):
+ *   ternary := or ('?' ternary ':' ternary)? ;
+ *   or := and ('||' and)* ; and := cmp ('&&' cmp)* ;
+ *   cmp := expr (('<'|'<='|'>'|'>='|'=='|'!=') expr)? ;
+ *   expr := term (('+'|'-') term)* ; term := factor (('*'|'/'|'%') factor)* ;
+ *   factor := ('-'|'!')? atom ('^' factor)? ; atom := number | 'self'
+ *   | fn '(' ternary ')' | '(' ternary ')' ; fn in {abs, sqrt, log, exp, sin, cos}.
+ * A numeric ternary condition is truthy when != 0 (Groovy number truth).
+ * NaN in a comparison: the closure path follows Java (false), the Column
+ * path follows Spark SQL ordering — irrelevant for `self` (the NaN/nodata
+ * guard short-circuits before the script) but scripts whose SUBexpressions
+ * manufacture NaN (log of a negative) should not branch on them.
  */
 object TransformExpr {
 
@@ -26,6 +36,10 @@ object TransformExpr {
   case class Bin(op: Char, l: Ast, r: Ast) extends Ast
   case class Fn(name: String, a: Ast) extends Ast
   case class Neg(a: Ast) extends Ast
+  case class Cmp(op: String, l: Ast, r: Ast) extends Ast
+  case class Logic(op: String, l: Ast, r: Ast) extends Ast
+  case class Not(a: Ast) extends Ast
+  case class Ternary(c: Ast, t: Ast, f: Ast) extends Ast
 
   def parse(src: String): Ast = new Parser(src).parseAll()
 
@@ -38,11 +52,49 @@ object TransformExpr {
       require(peek == c, s"expected '$c' at $pos in: $src")
       pos += 1
     }
+    /** True + consume when the next chars are exactly `op` (two-char ops
+      * checked before their one-char prefixes by the callers). */
+    private def eat(op: String): Boolean = {
+      skipWs()
+      if (src.startsWith(op, pos)) { pos += op.length; true } else false
+    }
     def parseAll(): Ast = {
-      val e = expr()
+      val e = ternary()
       skipWs()
       require(pos == src.length, s"trailing input at $pos in: $src")
       e
+    }
+    private def ternary(): Ast = {
+      val c = orExpr()
+      skipWs()
+      if (peek == '?') {
+        pos += 1
+        val t = ternary()
+        expect(':')
+        Ternary(c, t, ternary())
+      } else c
+    }
+    private def orExpr(): Ast = {
+      var l = andExpr()
+      while (eat("||")) l = Logic("||", l, andExpr())
+      l
+    }
+    private def andExpr(): Ast = {
+      var l = cmpExpr()
+      while (eat("&&")) l = Logic("&&", l, cmpExpr())
+      l
+    }
+    private def cmpExpr(): Ast = {
+      val l = expr()
+      skipWs()
+      // two-char ops first; a bare '=' is not an operator in this grammar
+      val op =
+        if (eat("<=")) "<=" else if (eat(">=")) ">="
+        else if (eat("==")) "==" else if (eat("!=")) "!="
+        else if (peek == '<') { pos += 1; "<" }
+        else if (peek == '>') { pos += 1; ">" }
+        else null
+      if (op == null) l else Cmp(op, l, expr())
     }
     private def expr(): Ast = {
       var l = term()
@@ -65,15 +117,16 @@ object TransformExpr {
     private def factor(): Ast = {
       skipWs()
       val neg = peek == '-'
-      if (neg) pos += 1
+      val not = peek == '!' && !src.startsWith("!=", pos)
+      if (neg || not) pos += 1
       val a = atom()
       skipWs()
       val base = if (peek == '^') { pos += 1; Bin('^', a, factor()) } else a
-      if (neg) Neg(base) else base
+      if (neg) Neg(base) else if (not) Not(base) else base
     }
     private def atom(): Ast = {
       skipWs()
-      if (peek == '(') { expect('('); val e = expr(); expect(')'); e }
+      if (peek == '(') { expect('('); val e = ternary(); expect(')'); e }
       else if (peek.isDigit || peek == '.') {
         val start = pos
         while (peek.isDigit || peek == '.' || peek == 'e' || peek == 'E' ||
@@ -86,9 +139,30 @@ object TransformExpr {
         val name = src.substring(start, pos)
         require(name.nonEmpty, s"unexpected character at $pos in: $src")
         if (name == "self") Self
-        else { expect('('); val e = expr(); expect(')'); Fn(name, e) }
+        else { expect('('); val e = ternary(); expect(')'); Fn(name, e) }
       }
     }
+  }
+
+  /** Compile a condition position to a Boolean closure. A numeric node is
+    * truthy when != 0 (Groovy number truth). */
+  private def compileBool(ast: Ast): Double => Boolean = ast match {
+    case Cmp(op, l, r) =>
+      val fl = compile(l); val fr = compile(r)
+      op match {
+        case "<"  => v => fl(v) < fr(v)
+        case "<=" => v => fl(v) <= fr(v)
+        case ">"  => v => fl(v) > fr(v)
+        case ">=" => v => fl(v) >= fr(v)
+        case "==" => v => fl(v) == fr(v)
+        case "!=" => v => fl(v) != fr(v)
+      }
+    case Logic("&&", l, r) =>
+      val fl = compileBool(l); val fr = compileBool(r); v => fl(v) && fr(v)
+    case Logic("||", l, r) =>
+      val fl = compileBool(l); val fr = compileBool(r); v => fl(v) || fr(v)
+    case Not(a) => val f = compileBool(a); v => !f(v)
+    case num    => val f = compile(num); v => f(v) != 0.0
   }
 
   /** Compile to a scalar closure (dense per-tile kernels). */
@@ -96,6 +170,13 @@ object TransformExpr {
     case Num(v) => _ => v
     case Self => v => v
     case Neg(a) => val f = compile(a); v => -f(v)
+    case Ternary(c, t, f) =>
+      val fc = compileBool(c); val ft = compile(t); val ff = compile(f)
+      v => if (fc(v)) ft(v) else ff(v)
+    case Cmp(_, _, _) | Logic(_, _, _) | Not(_) =>
+      // a bare boolean result coerces to 1/0 (Groovy-adjacent; keeps the
+      // closure total so `self > 0` alone is a usable mask script)
+      val f = compileBool(ast); v => if (f(v)) 1.0 else 0.0
     case Bin(op, l, r) =>
       val fl = compile(l); val fr = compile(r)
       op match {
@@ -119,11 +200,31 @@ object TransformExpr {
       }
   }
 
+  /** Condition position as a BooleanType Column. */
+  private def toBoolColumn(ast: Ast, self: Column): Column = ast match {
+    case Cmp("<", l, r)  => toColumn(l, self) < toColumn(r, self)
+    case Cmp("<=", l, r) => toColumn(l, self) <= toColumn(r, self)
+    case Cmp(">", l, r)  => toColumn(l, self) > toColumn(r, self)
+    case Cmp(">=", l, r) => toColumn(l, self) >= toColumn(r, self)
+    case Cmp("==", l, r) => toColumn(l, self) === toColumn(r, self)
+    case Cmp("!=", l, r) => toColumn(l, self) =!= toColumn(r, self)
+    case Cmp(op, _, _)   => throw new IllegalStateException(s"cmp $op")
+    case Logic("&&", l, r) => toBoolColumn(l, self) && toBoolColumn(r, self)
+    case Logic("||", l, r) => toBoolColumn(l, self) || toBoolColumn(r, self)
+    case Logic(op, _, _)   => throw new IllegalStateException(s"logic $op")
+    case Not(a) => !toBoolColumn(a, self)
+    case num    => toColumn(num, self) =!= lit(0.0)
+  }
+
   /** Compile to a Catalyst Column over the value column (codegen path). */
   def toColumn(ast: Ast, self: Column): Column = ast match {
     case Num(v) => lit(v)
     case Self => self
     case Neg(a) => -toColumn(a, self)
+    case Ternary(c, t, f) =>
+      when(toBoolColumn(c, self), toColumn(t, self)).otherwise(toColumn(f, self))
+    case Cmp(_, _, _) | Logic(_, _, _) | Not(_) =>
+      when(toBoolColumn(ast, self), lit(1.0)).otherwise(lit(0.0))
     case Bin('+', l, r) => toColumn(l, self) + toColumn(r, self)
     case Bin('-', l, r) => toColumn(l, self) - toColumn(r, self)
     case Bin('*', l, r) => toColumn(l, self) * toColumn(r, self)

@@ -166,7 +166,15 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("transform expression: parser, scalar and Column agree, NaN guard") {
     import spark.implicits._
     val exprs = Seq("self * 2 + 1", "(self - 3) / 2", "abs(self) ^ 2", "sqrt(self) + self % 3",
-                    "-self * 1e-2", "exp(log(self))")
+                    "-self * 1e-2", "exp(log(self))",
+                    // conditionals (Groovy's branching subset)
+                    "self > 0 ? self : 0 - self",
+                    "self >= 1 && self < 9 ? self * 10 : self + 0.5",
+                    "self == 4 || self == 9 ? sqrt(self) : -self",
+                    "self != 1 ? (self < 2 ? 1 + self : 2 * self) : 7",
+                    "!(self > 3) ? self : self / 3",
+                    "self % 2 ? 100 + self : 200 + self", // numeric truthiness
+                    "self > 0.6 ? 1 : 0")
     val values = Seq(0.5, 1.0, 4.0, 9.0, 100.0)
     for (e <- exprs) {
       val f = TransformExpr.scalar(e)
