@@ -401,6 +401,64 @@ object SourceQueries {
                 $"l._6".as("epsg"), $"l._7".as("gridw"), $"l._8".as("gridh"),
                 $"l._9".as("nodata1"), $"l._10".as("nodata2"))
         .orderBy($"identifier")
+    },
+
+    // WCS EO TemporalExtension (the reference's per-layer time domain —
+    // WCSServiceManager.java:560-566, :577-579 consume start/end/timestamps
+    // when EO extensions are present; GeoServer publishes a TimeDomain for
+    // mosaic/NetCDF layers): each layer's DescribeCoverage embeds a
+    // time-instant list (k%3==0 layers also a TimePeriod widening
+    // start/end; k%7==6 layers have NO time domain -> null temporal
+    // coverage). The ISO strings round-trip through the real DOM parse +
+    // Instant.parse per executor; selection picks the CONTAINING epoch
+    // (latest timestamp <= query time, clamped to the first) — the J2
+    // interval semantics on the parsed list. The oracle replays the epoch
+    // arithmetic as pure BIGINT math.
+    "q93_wcs_time_domain" -> { (s, dir) =>
+      import s.implicits._
+      val T0 = 1577836800000L // 2020-01-01T00:00:00Z
+      val Day = 86400000L
+      def iso(ms: Column): Column =
+        date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+      val base = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("n", (lit(3) + $"k" % 5).cast("int"))
+      val instantsXml = array_join(
+        transform(sequence(lit(0), $"n" - 1), j =>
+          concat(lit("<gml:TimeInstant><gml:timePosition>"),
+                 iso(lit(T0) + ($"k" * 5 + j.cast("long") * 7) * Day),
+                 lit("</gml:timePosition></gml:TimeInstant>"))), "")
+      val periodXml = when($"k" % 3 === 0,
+        concat(lit("<gml:TimePeriod><gml:beginPosition>"),
+               iso(lit(T0) + ($"k" * 5 - 3) * Day),
+               lit("</gml:beginPosition><gml:endPosition>"),
+               iso(lit(T0) + ($"k" * 5 + 40) * Day),
+               lit("</gml:endPosition></gml:TimePeriod>"))).otherwise(lit(""))
+      val timeDomain = when($"k" % 7 === 6, lit("")).otherwise(
+        concat(lit("<gmlcov:metadata><gmlcov:Extension><wcseo:TimeDomain>"),
+               instantsXml, periodXml,
+               lit("</wcseo:TimeDomain></gmlcov:Extension></gmlcov:metadata>")))
+      val xml = concat(
+        lit("<wcs:CoverageDescriptions xmlns:wcs=\"http://www.opengis.net/wcs/2.0\" " +
+            "xmlns:gml=\"http://www.opengis.net/gml/3.2\" " +
+            "xmlns:gmlcov=\"http://www.opengis.net/gmlcov/1.0\" " +
+            "xmlns:wcseo=\"http://www.opengis.net/wcs/wcseo/1.0\">" +
+            "<wcs:CoverageDescription><wcs:CoverageId>layer__"), $"k".cast("string"),
+        lit("</wcs:CoverageId>"), timeDomain,
+        lit("</wcs:CoverageDescription></wcs:CoverageDescriptions>"))
+      val parse = udf { xmlStr: String =>
+        val id = WcsXml.parseDescribeCoverage(xmlStr, 2, 0L).identifier
+        val (start, end, ts) = WcsXml.parseTimeDomain(xmlStr)
+        (id, start, end, ts)
+      }
+      base.select($"k", parse(xml).as("t"))
+        .withColumn("q_ms", lit(T0) + ($"k" * 13 % 40) * Day)
+        .select($"t._1".as("identifier"),
+                size($"t._4").cast("bigint").as("n_times"),
+                $"t._2".as("start_ms"), $"t._3".as("end_ms"), $"q_ms",
+                coalesce(array_max(filter($"t._4", x => x <= $"q_ms")),
+                         array_min($"t._4")).as("sel_ms"))
+        .orderBy($"identifier")
     })
 
   val oracle: Map[String, String] = Map(
@@ -564,5 +622,36 @@ object SourceQueries {
         |       CAST(n_nationkey AS BIGINT) + 200 AS gridh,
         |       CAST(CAST(n_nationkey AS BIGINT) AS DOUBLE) AS nodata1,
         |       -9999.0E0 AS nodata2
-        |FROM nation ORDER BY identifier""".stripMargin)
+        |FROM nation ORDER BY identifier""".stripMargin,
+
+    // q93: pure-BIGINT replay of the time-domain arithmetic; the Spark side
+    // must round-trip the same epochs through ISO text + DOM + Instant
+    "q93_wcs_time_domain" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |inst AS (
+        |  SELECT ks.k, 1577836800000 + (ks.k * 5 + j.j * 7) * 86400000 AS ms
+        |  FROM ks, generate_series(0, 6) j(j)
+        |  WHERE j.j < 3 + ks.k % 5 AND ks.k % 7 <> 6),
+        |agg AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_times, MIN(ms) AS mn, MAX(ms) AS mx
+        |  FROM inst GROUP BY k),
+        |q AS (SELECT k, 1577836800000 + (k * 13 % 40) * 86400000 AS q_ms FROM ks),
+        |sel AS (
+        |  SELECT i.k, MAX(i.ms) AS s FROM inst i JOIN q ON i.k = q.k AND i.ms <= q.q_ms
+        |  GROUP BY i.k)
+        |SELECT concat('layer__', CAST(ks.k AS VARCHAR)) AS identifier,
+        |       COALESCE(agg.n_times, 0) AS n_times,
+        |       CASE WHEN ks.k % 3 = 0 AND ks.k % 7 <> 6
+        |            THEN LEAST(agg.mn, 1577836800000 + (ks.k * 5 - 3) * 86400000)
+        |            ELSE agg.mn END AS start_ms,
+        |       CASE WHEN ks.k % 3 = 0 AND ks.k % 7 <> 6
+        |            THEN GREATEST(agg.mx, 1577836800000 + (ks.k * 5 + 40) * 86400000)
+        |            ELSE agg.mx END AS end_ms,
+        |       q.q_ms,
+        |       COALESCE(sel.s, agg.mn) AS sel_ms
+        |FROM ks
+        |LEFT JOIN agg ON ks.k = agg.k
+        |JOIN q ON ks.k = q.k
+        |LEFT JOIN sel ON ks.k = sel.k
+        |ORDER BY identifier""".stripMargin)
 }

@@ -178,4 +178,37 @@ object WcsXml {
     WcsCatalog.Layer(id, env._1, env._2, env._3, env._4, epsg, gw, gh,
                      nodata.toSeq, fetchedAtMs)
   }
+
+  /**
+   * EO TemporalExtension of a time-enabled coverage (the reference consumes
+   * a per-layer start/end/timestamps triple when EO extensions are present
+   * — WCSServiceManager.java:560-566, :577-579; GeoServer publishes these
+   * only for mosaic/NetCDF layers). Parsed from the WCS-EO / GeoServer
+   * TimeDomain shape inside the coverage metadata:
+   *
+   *  - `gml:TimeInstant/gml:timePosition` entries -> the discrete epoch list;
+   *  - `gml:TimePeriod` `beginPosition`/`endPosition` -> continuous ranges.
+   *
+   * Returns (start, end, timestamps): start/end = min/max over every parsed
+   * time (instants and period endpoints), timestamps = the sorted distinct
+   * instants (epoch millis, ISO-8601 parsed). (None, None, Nil) when the
+   * document carries no time domain — layers without EO extensions have no
+   * temporal coverage, matching the reference's null TemporalExtension.
+   */
+  def parseTimeDomain(xml: String): (Option[Long], Option[Long], Seq[Long]) = {
+    val doc = parseDoc(xml)
+    def ms(e: Element): Option[Long] = {
+      val s = e.getTextContent.trim
+      if (s.isEmpty) None
+      else Some(java.time.Instant.parse(s).toEpochMilli)
+    }
+    val instants = descendants(doc, "timePosition").flatMap(ms)
+    val periods = descendants(doc, "TimePeriod").flatMap { p =>
+      descendants(p, "beginPosition").flatMap(ms) ++
+        descendants(p, "endPosition").flatMap(ms)
+    }
+    val all = instants ++ periods
+    if (all.isEmpty) (None, None, Nil)
+    else (Some(all.min), Some(all.max), instants.distinct.sorted)
+  }
 }

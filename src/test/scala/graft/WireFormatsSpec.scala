@@ -278,6 +278,33 @@ class WireFormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(layers.forall(l => WcsCatalog.isExpired(l, 5L + WcsCatalog.LayerExpiryMs + 1)))
   }
 
+  test("WCS EO TimeDomain: instants + period widen start/end; absent -> null") {
+    val withDomain =
+      """<wcs:CoverageDescriptions xmlns:wcs="http://www.opengis.net/wcs/2.0"
+        |    xmlns:gml="http://www.opengis.net/gml/3.2"
+        |    xmlns:gmlcov="http://www.opengis.net/gmlcov/1.0"
+        |    xmlns:wcseo="http://www.opengis.net/wcs/wcseo/1.0">
+        |  <wcs:CoverageDescription><wcs:CoverageId>t</wcs:CoverageId>
+        |  <gmlcov:metadata><gmlcov:Extension><wcseo:TimeDomain>
+        |    <gml:TimeInstant><gml:timePosition>2020-01-03T00:00:00Z</gml:timePosition></gml:TimeInstant>
+        |    <gml:TimeInstant><gml:timePosition>2020-01-01T00:00:00Z</gml:timePosition></gml:TimeInstant>
+        |    <gml:TimeInstant><gml:timePosition>2020-01-03T00:00:00Z</gml:timePosition></gml:TimeInstant>
+        |    <gml:TimePeriod><gml:beginPosition>2019-12-25T00:00:00Z</gml:beginPosition>
+        |      <gml:endPosition>2020-02-01T00:00:00Z</gml:endPosition></gml:TimePeriod>
+        |  </wcseo:TimeDomain></gmlcov:Extension></gmlcov:metadata>
+        |  </wcs:CoverageDescription></wcs:CoverageDescriptions>""".stripMargin
+    val day = 86400000L
+    val t0 = 1577836800000L // 2020-01-01
+    val (start, end, ts) = WcsXml.parseTimeDomain(withDomain)
+    assert(ts == Seq(t0, t0 + 2 * day)) // sorted, deduplicated instants
+    assert(start.contains(t0 - 7 * day)) // period begin widens start
+    assert(end.contains(t0 + 31 * day)) // period end widens end
+    val bare = "<wcs:CoverageDescriptions xmlns:wcs=\"http://www.opengis.net/wcs/2.0\">" +
+      "<wcs:CoverageDescription><wcs:CoverageId>t</wcs:CoverageId>" +
+      "</wcs:CoverageDescription></wcs:CoverageDescriptions>"
+    assert(WcsXml.parseTimeDomain(bare) == (None, None, Nil))
+  }
+
   test("WCS XML parser refuses doctypes (XXE hardening)") {
     val evil = """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]><x>&e;</x>"""
     intercept[Exception](WcsXml.capabilityIdentifiers(evil, 2))
