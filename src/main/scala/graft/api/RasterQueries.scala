@@ -252,6 +252,56 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // PALETTE GeoTIFF end-to-end (ColorMap tag 320 + photometric 3 — the
+    // categorical landcover product shape; the reference reads these via
+    // GeoTools' palette handling): 25 paletted landcover tiles written by
+    // the executors, scanned back with binaryFile, decoded to palette
+    // INDICES (= the DataKey codes, P4), colors recovered from the ColorMap
+    // (exact 257-scale inverse), labels joined through the broadcast
+    // DataKey dim table, then categorical zonal counts per (item, class).
+    // Any defect in uint8 decode, ColorMap layout (R/G/B planes) or the
+    // code->label pairing flips the hash.
+    "q94_palette_zonal" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.Raster
+      import graft.raster.DataKey
+      import graft.sources.GeoTiff
+      val labels = Seq("bare", "crops", "forest", "grass", "urban", "water")
+      val pal = Seq.tabulate(6)(c => (c * 40, 255 - c * 40, c * 20))
+      val stagePath = FixtureStage.stage("q94", version = 1) { out =>
+        s.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey".cast("long")).as[Long].foreach { k =>
+            val w = 30; val h = 20
+            val codes = Array.tabulate(w * h)(i =>
+              ((i / h * 31 + i % h * 17 + k) % 6).toDouble)
+            val r = Raster(f"item-$k%03d", k, w, h,
+                           k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326, Seq(codes))
+            GeoTiff.writeFull(r, new java.io.File(out, s"${r.item_id}.tif"),
+                              bits = 8, deflate = true, palette = Some(pal))
+          }
+      }
+      val counts = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content").as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          val r = GeoTiff.parse(bytes, id)
+          val cm = GeoTiff.colorMap(bytes, id)
+            .getOrElse(throw new IllegalArgumentException(s"$id: no ColorMap"))
+          r.bands.head.map { v =>
+            val c = v.toInt
+            (id, c.toLong, cm(c)._1.toLong, cm(c)._2.toLong, cm(c)._3.toLong)
+          }
+        }
+        .toDF("item_id", "code", "red", "green", "blue")
+        .groupBy($"item_id", $"code", $"red", $"green", $"blue")
+        .agg(count(lit(1)).as("n_cells"))
+      val dict = DataKey.toTable(s, DataKey.fromLabels(labels))
+        .withColumn("code", $"code".cast("long"))
+      counts.join(broadcast(dict), Seq("code"))
+        .select($"item_id", $"code", $"label", $"n_cells", $"red", $"green", $"blue")
+        .orderBy($"item_id", $"code")
+    },
+
     // multi-band tiled GeoTIFF (COG shape) end-to-end (S1 completion +
     // P1/A1 from FILE BYTES, RasterEncoder.java:107-113,
     // StacResource.java:433-437): 25 three-band 30x20 rasters written as
@@ -791,6 +841,20 @@ object RasterQueries {
 
     "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
     "q68_geotiff_mosaic" -> mosaicOracle("arg_max(v, k)"),
+
+    "q94_palette_zonal" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |cells AS (
+        |  SELECT ks.k, (x.x * 31 + y.y * 17 + ks.k) % 6 AS c
+        |  FROM ks, generate_series(0, 29) x(x), generate_series(0, 19) y(y)),
+        |cnt AS (SELECT k, c, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells GROUP BY k, c),
+        |lab AS (SELECT * FROM (VALUES (0, 'bare'), (1, 'crops'), (2, 'forest'),
+        |                              (3, 'grass'), (4, 'urban'), (5, 'water')) l(c, label))
+        |SELECT concat('item-', lpad(CAST(cnt.k AS VARCHAR), 3, '0')) AS item_id,
+        |       cnt.c AS code, lab.label, cnt.n_cells,
+        |       cnt.c * 40 AS red, 255 - cnt.c * 40 AS green, cnt.c * 20 AS blue
+        |FROM cnt JOIN lab ON cnt.c = lab.c
+        |ORDER BY item_id, code""".stripMargin,
 
     // q69: same grid/ownership as q25/q68, but each contribution is the
     // 3-band sum (band b adds b*7 to the value recurrence)

@@ -61,6 +61,7 @@ object GeoTiff {
   private val TTileOffsets = 324
   private val TTileByteCounts = 325
   private val TSampleFormat = 339
+  private val TColorMap = 320
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
   private val TGeoKeyDirectory = 34735
@@ -94,9 +95,10 @@ object GeoTiff {
    */
   def writeFull(r: Raster, file: File, bits: Int = 64, deflate: Boolean = false,
                 tile: Option[(Int, Int)] = None, planar: Int = 1,
-                overviews: Seq[Int] = Nil, predictor: Int = 1): Unit =
+                overviews: Seq[Int] = Nil, predictor: Int = 1,
+                palette: Option[Seq[(Int, Int, Int)]] = None): Unit =
     Files.write(Paths.get(file.getPath),
-                encode(r, bits, deflate, tile, planar, overviews, predictor))
+                encode(r, bits, deflate, tile, planar, overviews, predictor, palette))
 
   /** Nearest top-left decimation by `f` (the GDAL NEAREST overview rule). */
   private def decimate(r: Raster, f: Int): Raster = {
@@ -116,11 +118,25 @@ object GeoTiff {
     * encode their own tiles and hand bytes to the committing writer). */
   def encode(r: Raster, bits: Int = 64, deflate: Boolean = false,
              tile: Option[(Int, Int)] = None, planar: Int = 1,
-             overviews: Seq[Int] = Nil, predictor: Int = 1): Array[Byte] = {
-    require(bits == 32 || bits == 64, s"unsupported float width $bits")
+             overviews: Seq[Int] = Nil, predictor: Int = 1,
+             palette: Option[Seq[(Int, Int, Int)]] = None): Array[Byte] = {
+    // palette mode (PhotometricInterpretation 3 + ColorMap, the categorical
+    // landcover product shape): a single band of unsigned 8/16-bit palette
+    // INDICES — the codes categorical pipelines consume (DataKey P4); the
+    // ColorMap holds the 16-bit-per-component RGB triples
+    palette.foreach { p =>
+      require(bits == 8 || bits == 16, s"palette requires 8/16-bit indices, got $bits")
+      require(r.bands.length == 1, "palette applies to a single index band")
+      require(p.nonEmpty && p.length <= (1 << bits),
+              s"palette size ${p.length} exceeds 2^$bits")
+    }
+    require(bits == 32 || bits == 64 || palette.isDefined,
+            s"unsupported float width $bits")
     require(planar == 1 || planar == 2, s"bad PlanarConfiguration $planar")
     require(predictor == 1 || predictor == 3,
             s"writer supports predictor 1 (none) or 3 (floating point), got $predictor")
+    require(predictor == 1 || palette.isEmpty,
+            "predictor 3 applies to floating-point samples, not palette indices")
     tile.foreach { case (tw, th) =>
       require(tw % 16 == 0 && th % 16 == 0, s"tile dims must be multiples of 16: ${tw}x$th")
     }
@@ -128,7 +144,9 @@ object GeoTiff {
     val spp = r.bands.length
 
     @inline def putVal(bb: ByteBuffer, v: Double): Unit =
-      if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
+      if (palette.isDefined) {
+        if (bits == 8) bb.put(v.toInt.toByte) else bb.putShort(v.toInt.toShort)
+      } else if (bits == 64) bb.putDouble(v) else bb.putFloat(v.toFloat)
 
     // ---- image data chunks for one subfile, in file order ----
     def chunksOf(s: Raster): Seq[Array[Byte]] = {
@@ -230,10 +248,26 @@ object GeoTiff {
           (TImageLength, FtLong, 1, longsB(Seq(h.toLong))),
           (TBitsPerSample, FtShort, spp, shorts(Seq.fill(spp)(bits.toLong))),
           (TCompression, FtShort, 1, shorts(Seq(if (deflate) 8L else 1L))),
-          (TPhotometric, FtShort, 1, shorts(Seq(1L))),
+          (TPhotometric, FtShort, 1, shorts(Seq(if (palette.isDefined) 3L else 1L))),
           (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
           (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong))),
-          (TSampleFormat, FtShort, spp, shorts(Seq.fill(spp)(3L)))) ++ // IEEE float
+          (TSampleFormat, FtShort, spp,
+           shorts(Seq.fill(spp)(if (palette.isDefined) 1L else 3L)))) ++ // uint / IEEE float
+          palette.toSeq.map { p =>
+            // ColorMap: 2^bits 16-bit values per component, R plane then G
+            // then B (TIFF 6.0 §5); 8-bit components scale by 257
+            val n = 1 << bits
+            val cm = Seq.tabulate(3 * n) { i =>
+              val idx = i % n
+              if (idx >= p.length) 0L
+              else {
+                val t = p(idx)
+                val c = (i / n) match { case 0 => t._1; case 1 => t._2; case _ => t._3 }
+                (c * 257).toLong
+              }
+            }
+            (TColorMap, FtShort, 3 * n, shorts(cm))
+          } ++
           (if (predictor != 1)
              Seq((TPredictor, FtShort, 1, shorts(Seq(predictor.toLong)))) else Nil) ++
           (tile match {
@@ -612,6 +646,28 @@ object GeoTiff {
     val buf = ByteBuffer.wrap(bytes).order(order)
     require(buf.getShort(2) == 42, s"$itemId: bad TIFF magic")
     (buf, order, buf.getInt(4).toLong & 0xffffffffL)
+  }
+
+  /**
+   * ColorMap (tag 320) of IFD0 as 8-bit RGB triples — present on paletted
+   * files (PhotometricInterpretation 3, the categorical landcover product
+   * shape). [[parse]] returns the palette INDICES as band values (the codes
+   * a DataKey dictionary pairs with labels); this accessor recovers the
+   * colors. TIFF stores 16-bit components, R plane then G then B
+   * (TIFF 6.0 §5) — downscaled here by 257 (the exact inverse of the
+   * writer's upscale).
+   */
+  def colorMap(bytes: Array[Byte], itemId: String = "tiff"): Option[Seq[(Int, Int, Int)]] = {
+    val (buf, order, first) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first)
+    if (!tags.entries.contains(TColorMap)) None
+    else {
+      val vs = tags.longs(TColorMap)
+      require(vs.length % 3 == 0, s"$itemId: ColorMap length ${vs.length} not 3N")
+      val n = vs.length / 3
+      Some(Seq.tabulate(n)(i =>
+        ((vs(i) / 257).toInt, (vs(n + i) / 257).toInt, (vs(2 * n + i) / 257).toInt)))
+    }
   }
 
   /** One subfile of the IFD chain: dimensions + the reduced-resolution flag

@@ -411,6 +411,51 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("palette round-trip: photometric 3 codes + ColorMap, strip and tiled") {
+    val w = 37; val h = 23
+    val codes = Array.tabulate(w * h)(i => ((i * 31 + i / h * 17) % 6).toDouble)
+    val r = Raster("pal", 1L, w, h, 0.0, 37.0, 0.0, 23.0, 4326, Seq(codes))
+    val pal = Seq.tabulate(6)(c => (c * 40, 255 - c * 40, c * 20))
+    for (tile <- Seq(None, Some((16, 16))); deflate <- Seq(false, true)) {
+      val bytes = GeoTiff.encode(r, bits = 8, deflate = deflate, tile = tile,
+                                 palette = Some(pal))
+      val back = GeoTiff.parse(bytes, "pal", 1L)
+      sameValues(back.bands.head, codes) // indices ARE the decoded values
+      assert((back.minX, back.maxX, back.minY, back.maxY) == (0.0, 37.0, 0.0, 23.0))
+      // 257-scale exact inverse; map is padded to 2^bits entries
+      assert(GeoTiff.colorMap(bytes).map(_.take(6)).contains(pal))
+    }
+    // 16-bit indices hold codes past 255
+    val big = Raster("pal16", 1L, 8, 4, 0.0, 8.0, 0.0, 4.0, 4326,
+                     Seq(Array.tabulate(32)(i => (i * 37 % 300).toDouble)))
+    val pal16 = Seq.tabulate(300)(c => (c % 256, (c * 7) % 256, (c * 13) % 256))
+    val b16 = GeoTiff.encode(big, bits = 16, palette = Some(pal16))
+    sameValues(GeoTiff.parse(b16, "pal16").bands.head, big.bands.head)
+    assert(GeoTiff.colorMap(b16).map(_.take(300)).contains(pal16))
+    // non-palette files have no color map; oversized palettes are rejected
+    assert(GeoTiff.colorMap(GeoTiff.encode(mkRaster(4326))).isEmpty)
+    intercept[IllegalArgumentException](
+      GeoTiff.encode(big, bits = 8, palette = Some(pal16)))
+  }
+
+  test("JDK ImageIO reads our paletted files (independent implementation)") {
+    val w = 20; val h = 10
+    val codes = Array.tabulate(w * h)(i => (i % 5).toDouble)
+    val r = Raster("palio", 1L, w, h, 0.0, 20.0, 0.0, 10.0, 4326, Seq(codes))
+    val pal = Seq.tabulate(5)(c => (c * 50, 40 + c * 30, 255 - c * 50))
+    val f = tmp(".tif")
+    GeoTiff.writeFull(r, f, bits = 8, palette = Some(pal))
+    val img = javax.imageio.ImageIO.read(f)
+    assert(img != null, "ImageIO could not read the paletted file")
+    // ImageIO expands palette to RGB: probe a few pixels against the map
+    for (x <- Seq(0, 7, 19); y <- Seq(0, 4, 9)) {
+      val code = codes(x * h + (h - 1 - y)).toInt // row y is top-down
+      val rgb = img.getRGB(x, y)
+      val got = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(got == pal(code), s"pixel ($x,$y) code $code")
+    }
+  }
+
   test("exportObservation: zip target bundles tiff + vat sidecar deterministically") {
     import graft.raster.DataKey
     val r = mkRaster(4326)
