@@ -70,6 +70,15 @@ object AnnQueries {
   private val IntInitCents: Seq[Seq[Long]] =
     (0 until IvfK).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toLong * 166667L))
 
+  /** q97 large-K codebook: 4096 centroids from a LONG-PERIOD integer hash —
+    * the q43 ladder recurrence is mod-13 periodic, which would collapse
+    * 4096 rows to 13 distinct centroids (every assignment tie-broken into
+    * c < 13). cent(c, d) = (((c*2654435761 + d*40503) % 8191) - 4095)/4095. */
+  val BigK = 4096
+  private[graft] val BigCents: Seq[Seq[Double]] =
+    (0 until BigK).map(c => (0 until 64).map(d =>
+      (((c.toLong * 2654435761L + d * 40503L) % 8191L) - 4095L).toDouble / 4095.0))
+
   // typedLit, not array(array(lit...)): a K x 64 codebook as nested
   // CreateArray trees is ~1000 Literal nodes that janino compiles cold on
   // every fresh JVM (seconds of codegen for q43/q44 under the driver's
@@ -202,6 +211,23 @@ object AnnQueries {
       val assigned = assignProbes(emb, centArrayLitL(trained), nprobe = 2, idot, "q")
         .drop("q")
       ivfSearch(assigned, nprobe = 2)
+    },
+
+    // IVF with a BROADCAST codebook at K=4096 (the 100-TB K ~ sqrt(N)
+    // shape): a typedLit codebook is right up to K in the thousands, but a
+    // large codebook must ship ONCE per executor as a SparkContext
+    // broadcast consumed by a codegen-called UDF — plan size O(1) in K, no
+    // K-row join, assignment still one shuffle-free projection below the
+    // probe join (PlanShapeSpec pins zero exchanges beneath it;
+    // AnnEquivalenceSpec proves the broadcast path bit-identical to the
+    // literal path). Queries probe 64 of 4096 clusters (1.6%).
+    "q97_ann_ivf_broadcast" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vn", sqrt(dot($"v", $"v")))
+      val assigned = assignProbesBroadcast(emb, BigCents, nprobe = 64, "v")
+      ivfSearch(assigned, nprobe = 64)
     },
 
     "q41_lsh_buckets" -> { (s, dir) =>
@@ -348,6 +374,34 @@ object AnnQueries {
          |homes AS (SELECT vec_id, v, vn, c FROM scored WHERE rk = 1),
          |qprobes AS (SELECT vec_id AS qid, v AS qv, vn AS qn, c FROM scored
          |            WHERE rk <= 4 AND vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, h.vec_id,
+         |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos
+         |  FROM homes h JOIN qprobes q ON h.c = q.c
+         |  WHERE h.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q97_ann_ivf_broadcast" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT c.c,
+         |         (SELECT LIST(CAST((((c.c * 2654435761 + d * 40503) % 8191) - 4095) AS DOUBLE) / 4095.0 ORDER BY d)
+         |          FROM generate_series(0, 63) t(d)) AS w
+         |  FROM generate_series(0, ${BigK - 1}) c(c)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, e.vn, c.c,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.v, c.w) DESC, c.c) AS rk
+         |  FROM e, cents c),
+         |homes AS (SELECT vec_id, v, vn, c FROM scored WHERE rk = 1),
+         |qprobes AS (SELECT vec_id AS qid, v AS qv, vn AS qn, c FROM scored
+         |            WHERE rk <= 64 AND vec_id < 10),
          |cand AS (
          |  SELECT q.qid, h.vec_id,
          |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos

@@ -41,6 +41,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("slice("))
   }
 
+  test("q97: broadcast-codebook IVF assignment is shuffle-free below the probe join") {
+    val plan = executed("q97_ann_ivf_broadcast")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, "probe join missing from the plan")
+    val below = plan.substring(joinIdx)
+    assert(count(below, "Window") == 0, "argmax must not be a Window")
+    assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
+    // the K=4096 codebook must NOT be serialized into the plan: 262k
+    // doubles as literals/expression trees would blow the plan string up by
+    // orders of magnitude (the broadcast value rides outside the plan)
+    assert(plan.length < 20000, s"plan unexpectedly large (${plan.length} chars)")
+  }
+
   test("q43: IVF assignment is shuffle-free below the probe join") {
     val plan = executed("q43_ann_ivf")
     val joinIdx = plan.indexOf("Join")
