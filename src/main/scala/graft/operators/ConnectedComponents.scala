@@ -80,10 +80,11 @@ object ConnectedComponents {
     var round = 0
     var converged = n == 0L
     while (!converged && round < maxRounds) {
-      val start = lbl
+      var prev = lbl
       var cur = lbl
       var steps = 0
       while (steps < blockSize && round < maxRounds) {
+        prev = cur
         // (a) propagate: each node adopts the min label over its neighbors
         val nbrMin = sym.join(cur.withColumnRenamed("id", "nid"), col("v") === col("nid"))
           .groupBy(col("u").as("pid")).agg(min(col("lbl")).as("nl"))
@@ -109,11 +110,15 @@ object ConnectedComponents {
         round += 1
       }
       // block boundary: ONE job materializes all chained rounds and severs
-      // the frame; ONE probe compares block start vs end (labels only
-      // decrease, so any change shows as a strict drop)
+      // the frame; ONE probe compares the block's LAST TWO rounds (labels
+      // only decrease, so a quiet final round IS the fixpoint — comparing
+      // against block START would re-run a whole block whenever convergence
+      // lands mid-block, doubling the round count for nothing). prev's
+      // cached blocks were computed inside the same materialization job, so
+      // the probe join reads two cached RDDs.
       val next = materializedLeaf(cur)
       val changed = next
-        .join(start.select(col("id").as("sid"), col("lbl").as("l0")),
+        .join(prev.select(col("id").as("sid"), col("lbl").as("l0")),
               col("id") === col("sid"))
         .filter(col("lbl") < col("l0")).count()
       converged = changed == 0L

@@ -40,6 +40,34 @@ def main(path: str, bench_md: str = "BENCH.md") -> None:
     if errors:
         lines.append("")
         lines.append("**FAILED QUERIES:** " + json.dumps(errors))
+    tele = d.get("telemetry") or {}
+    if tele:
+        lines.append("")
+        lines.append(
+            f"Run environment: heap_max {d.get('heap_max_mb', '?')} MiB, "
+            f"warmup pass {d.get('warmup_sec', 0):.0f} s, cooldown "
+            f"{d.get('cooldown_sec', 0)} s (cpu {d.get('mhz_before_cooldown', -1):.0f} "
+            f"-> {d.get('mhz_after_cooldown', -1):.0f} MHz across it)."
+        )
+        lines.append("")
+        lines.append(
+            "Per-query telemetry for the slowest queries (gc = driver+executor "
+            "GC inside the window; task = summed executor task time; proc/other "
+            "= this process vs rest-of-host CPU seconds from /proc/stat; MHz "
+            "sampled DURING the query — a drop means frequency throttling while "
+            "it ran):")
+        lines.append("")
+        lines.append("| query | wall s | task s | gc s | proc cpu s | other cpu s | MHz mean/min | heap MiB |")
+        lines.append("|---|---|---|---|---|---|---|---|")
+        slowest = sorted(qs.items(), key=lambda kv: -kv[1])[:8]
+        for k, v in slowest:
+            t = tele.get(k)
+            if not t:
+                continue
+            lines.append(
+                f"| {k} | {v:.2f} | {t['task_sec']:.2f} | {t['gc_sec']:.2f} "
+                f"| {t['proc_cpu_sec']:.2f} | {t['other_cpu_sec']:.2f} "
+                f"| {t['mhz_mean']:.0f}/{t['mhz_min']:.0f} | {t['heap_mb']} |")
     lines.append("")
     lines.append(
         f"Flagship interleaved-docs pipeline (q16 PIP join + q17 tile "
