@@ -71,14 +71,22 @@ object ConnectedComponents {
       sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl")))
 
-    // one action up front (on the just-checkpointed labels) sizes the blind
-    // block: doubling converges in ~log2(diameter) <= log2(n) rounds
+    // one action up front (on the just-checkpointed labels) bounds the blind
+    // budget: doubling converges in ~log2(diameter) <= log2(n) rounds
     val n = lbl.count()
-    val blockSize = math.max(1, math.min(12,
+    val logN = math.max(1, math.min(12,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 1))
 
     var round = 0
     var converged = n == 0L
+    // GEOMETRIC block lengths (2, 4, 8, ...): short-diameter graphs — the
+    // common near-dup case — stop after ~2x the rounds they need, while a
+    // deep graph still amortizes probes to O(log) of its round count. A
+    // fixed log2(n)-round first block would run 12 blind rounds on a graph
+    // that converges in 4 (measured 2x wall on the q76 pair graph). Capped
+    // at 12 chained frames per block (Catalyst planning cost compounds with
+    // chain depth — see the header).
+    var blockSize = math.min(2, logN)
     while (!converged && round < maxRounds) {
       var prev = lbl
       var cur = lbl
@@ -123,6 +131,7 @@ object ConnectedComponents {
         .filter(col("lbl") < col("l0")).count()
       converged = changed == 0L
       lbl = next
+      blockSize = math.min(12, blockSize * 2)
       // info, not warn: round progress is normal operation (warn is reserved
       // for data-affecting events, matching BucketedSelfJoin's convention)
       log.info(s"connected-components: $round rounds run, " +
