@@ -138,9 +138,9 @@ object ConnectedComponents {
         s"$changed labels changed in the last $steps-round block")
     }
     if (!converged && round >= maxRounds) {
-      // rounds exhausted with changes somewhere inside the last block — the
-      // fixpoint may still have been reached mid-block (block probes only
-      // see start vs end). One verification round decides exactly.
+      // rounds exhausted with the last block's FINAL round still changing —
+      // the fixpoint may nonetheless be exactly at that round. One
+      // verification propagation decides.
       val nbrMin = sym.join(lbl.withColumnRenamed("id", "nid"), col("v") === col("nid"))
         .groupBy(col("u").as("pid")).agg(min(col("lbl")).as("nl"))
       val changed = lbl.join(nbrMin, col("id") === col("pid"), "left")
