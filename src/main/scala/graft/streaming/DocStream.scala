@@ -180,6 +180,39 @@ object DocStream {
     * store (hashes idle longer than the TTL are evicted — state must not
     * grow without bound on an endless corpus); Duration.Zero keeps state
     * forever (bounded test corpora). */
+  /** Streaming LSH near-dup candidates: per-micro-batch minhash band
+    * signatures (the q33 arithmetic — one md5 array, band i = array_min of
+    * substring i), then the capped stateful bucket transition
+    * [[lshBucketUpdate]] keyed by (band, sig). Candidate pairs accumulate
+    * across the whole stream with per-bucket state bounded by `cap`
+    * (oversized buckets flip degenerate and go silent — batch cap parity,
+    * see [[lshBucketUpdate]]); a downstream exact-Jaccard refine consumes
+    * the pairs exactly like q37's batch path. */
+  def lshCandidateStream(spark: SparkSession, docs: DataFrame, cap: Int = 100,
+                         stateTtl: scala.concurrent.duration.Duration =
+                           scala.concurrent.duration.Duration.Zero): DataFrame = {
+    import spark.implicits._
+    val ttlMs = if (stateTtl.isFinite && stateTtl.toMillis > 0) stateTtl.toMillis else 0L
+    val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    val sigs = docs
+      .withColumn("mh", transform(array_distinct(split(col("text"), " ")), t => md5(t)))
+      .select(col("doc_id").cast("long").as("doc_id") +: (0 until 4).map(i =>
+        array_min(transform(col("mh"), h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
+    sigs
+      .select(col("doc_id"),
+              posexplode(array(col("sig1"), col("sig2"), col("sig3"), col("sig4"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+      .as[(Long, Int, String)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketState, (Long, Long)](OutputMode.Append(), timeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[BucketState]) =>
+          lshBucketUpdate(cap, ttlMs)(key, rows.map(_._1), state)
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   def dedupStream(spark: SparkSession, docs: DataFrame,
                   stateTtl: scala.concurrent.duration.Duration =
                     scala.concurrent.duration.Duration.Zero): DataFrame = {

@@ -129,6 +129,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f((0, "sig"), Iterator.empty, s5).isEmpty && s5.isRemoved)
   }
 
+  test("streaming LSH candidates end-to-end match the transition semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cap = 100
+    val q = DocStream.lshCandidateStream(spark, DocStream.readDocs(spark, dir), cap)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lsh_cand").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_cand")
+      .as[(Long, Long)].collect().toSet
+
+    // driver-side simulation of lshBucketUpdate over the same (band, sig)
+    // rows — the ground truth for what one micro-batch must emit
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
+      .select(col("doc_id").cast("long").as("doc_id") +: (0 until 4).map(i =>
+        array_min(transform(col("mh"), h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
+      .select($"doc_id", posexplode(array($"sig1", $"sig2", $"sig3", $"sig4")))
+      .as[(Long, Int, String)].collect()
+    // iterator, NOT Map.flatMap: tuple results would rebuild a Map and
+    // silently deduplicate pairs by doc_a
+    val expected = rows.groupBy(r => (r._2, r._3)).iterator.flatMap { case (_, rs) =>
+      var members = Vector.empty[Long]
+      var degenerate = false
+      val out = Seq.newBuilder[(Long, Long)]
+      rs.map(_._1).distinct.sorted.foreach { id =>
+        if (!degenerate) {
+          if (members.length >= cap) { degenerate = true; members = Vector.empty }
+          else {
+            members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+            members :+= id
+          }
+        }
+      }
+      out.result()
+    }.toSet
+    val extra = streamed -- expected
+    val missing = expected -- streamed
+    if (extra.nonEmpty || missing.nonEmpty)
+      System.err.println(s"[lsh-e2e] extra=${extra.size} ${extra.take(5)} " +
+        s"missing=${missing.size} ${missing.take(5)} streamed=${streamed.size} expected=${expected.size}")
+    assert(streamed.nonEmpty && streamed === expected)
+  }
+
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
     import spark.implicits._
     val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
