@@ -44,6 +44,51 @@ object DocStream {
         timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L))
   }
 
+  /** [[readDocs]] split into `parts` files so `maxFilesPerTrigger=1` yields
+    * `parts` MICRO-BATCHES in a deterministic order: part i holds doc_id %
+    * parts == i, and file modification times are staggered (FileStreamSource
+    * orders by mtime, not name) so batch i is exactly partition i. The
+    * cross-batch path of every stateful operator — state carried between
+    * triggers — is only exercised with more than one batch. */
+  def readDocsSplit(spark: SparkSession, dir: String, parts: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_split",
+      dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$parts")
+    val ready = staged.resolve("_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      if (java.nio.file.Files.exists(staged)) {
+        java.nio.file.Files.walk(staged)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+      java.nio.file.Files.createDirectories(staged)
+      val docs = spark.read.parquet(src.toString)
+      (0 until parts).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_split")
+        docs.filter(col("doc_id") % parts === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(
+          p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dst = staged.resolve(f"batch-$i%03d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+      java.nio.file.Files.createFile(ready)
+    }
+    spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(staged.toString)
+  }
+
   /** The events table as a file stream (same staging pattern as
     * [[readDocs]]: one parquet file copied into a dedicated source dir). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -129,9 +129,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f((0, "sig"), Iterator.empty, s5).isEmpty && s5.isRemoved)
   }
 
-  test("streaming LSH candidates end-to-end match the transition semantics") {
+  /** The q33 band-signature rows of the batch corpus: (doc_id, band, sig). */
+  private def bandSigRows(): Array[(Long, Int, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
+      .select(col("doc_id").cast("long").as("doc_id") +: (0 until 4).map(i =>
+        array_min(transform(col("mh"), h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
+      .select($"doc_id", posexplode(array($"sig1", $"sig2", $"sig3", $"sig4")))
+      .as[(Long, Int, String)].collect()
+  }
+
+  /** Driver-side replay of lshBucketUpdate: per bucket, ids arrive in
+    * `parts` batches (batch of id = id % parts), sorted within a batch —
+    * the ground truth for what the stream must emit. (iterator, NOT
+    * Map.flatMap: tuple results would rebuild a Map and silently
+    * deduplicate pairs by doc_a.) */
+  private def simulatePairs(rows: Array[(Long, Int, String)], parts: Int,
+                            cap: Int): Set[(Long, Long)] =
+    rows.groupBy(r => (r._2, r._3)).iterator.flatMap { case (_, rs) =>
+      var members = Vector.empty[Long]
+      var degenerate = false
+      val out = Seq.newBuilder[(Long, Long)]
+      (0 until parts).foreach { b =>
+        rs.map(_._1).filter(_ % parts == b).distinct.sorted.foreach { id =>
+          if (!degenerate && !members.contains(id)) {
+            if (members.length >= cap) { degenerate = true; members = Vector.empty }
+            else {
+              members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+              members :+= id
+            }
+          }
+        }
+      }
+      out.result()
+    }.toSet
+
+  test("streaming LSH candidates end-to-end match the transition semantics") {
+    import spark.implicits._
     val cap = 100
     val q = DocStream.lshCandidateStream(spark, DocStream.readDocs(spark, dir), cap)
       .writeStream.outputMode(OutputMode.Append())
@@ -139,38 +175,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try { q.processAllAvailable() } finally q.stop()
     val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_cand")
       .as[(Long, Long)].collect().toSet
-
-    // driver-side simulation of lshBucketUpdate over the same (band, sig)
-    // rows — the ground truth for what one micro-batch must emit
-    val rows = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
-      .select(col("doc_id").cast("long").as("doc_id") +: (0 until 4).map(i =>
-        array_min(transform(col("mh"), h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
-      .select($"doc_id", posexplode(array($"sig1", $"sig2", $"sig3", $"sig4")))
-      .as[(Long, Int, String)].collect()
-    // iterator, NOT Map.flatMap: tuple results would rebuild a Map and
-    // silently deduplicate pairs by doc_a
-    val expected = rows.groupBy(r => (r._2, r._3)).iterator.flatMap { case (_, rs) =>
-      var members = Vector.empty[Long]
-      var degenerate = false
-      val out = Seq.newBuilder[(Long, Long)]
-      rs.map(_._1).distinct.sorted.foreach { id =>
-        if (!degenerate) {
-          if (members.length >= cap) { degenerate = true; members = Vector.empty }
-          else {
-            members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
-            members :+= id
-          }
-        }
-      }
-      out.result()
-    }.toSet
-    val extra = streamed -- expected
-    val missing = expected -- streamed
-    if (extra.nonEmpty || missing.nonEmpty)
-      System.err.println(s"[lsh-e2e] extra=${extra.size} ${extra.take(5)} " +
-        s"missing=${missing.size} ${missing.take(5)} streamed=${streamed.size} expected=${expected.size}")
+    val expected = simulatePairs(bandSigRows(), parts = 1, cap)
     assert(streamed.nonEmpty && streamed === expected)
+  }
+
+  test("cross-batch LSH state: candidates accumulate over three micro-batches") {
+    import spark.implicits._
+    val cap = 100
+    val parts = 3
+    val q = DocStream
+      .lshCandidateStream(spark, DocStream.readDocsSplit(spark, dir, parts), cap)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lsh_cand_mb").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_cand_mb")
+      .as[(Long, Long)].collect().toSet
+    val expected = simulatePairs(bandSigRows(), parts, cap)
+    // pairs spanning different micro-batches prove state carried between
+    // triggers (a batch-2 arrival paired with a batch-0 remembered member)
+    assert(streamed.exists { case (a, b) => a % parts != b % parts })
+    assert(streamed === expected)
   }
 
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
