@@ -252,6 +252,63 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // viewport aspect-fit on an oracle path (O3, Viewport.java:83-111): the
+    // reference's exact integer math — truncating divisions, the shrink
+    // factor re-applied to both axes — replayed per (viewport, map) pair.
+    // Landscape and portrait maps alternate so both branches run.
+    "q99_viewport" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.GeodataIO
+      val fit = udf { (vw: Int, vh: Int, mw: Int, mh: Int) =>
+        GeodataIO.viewportSize(vw, vh, mw, mh)
+      }
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+        .withColumn("vw", ($"k" * 13 + 640).cast("int"))
+        .withColumn("vh", ($"k" * 7 + 480).cast("int"))
+        .withColumn("mw", when($"k" % 2 === 0, $"k" * 31 + 1000).otherwise($"k" * 17 + 700).cast("int"))
+        .withColumn("mh", when($"k" % 2 === 0, $"k" * 17 + 700).otherwise($"k" * 31 + 1000).cast("int"))
+        .withColumn("o", fit($"vw", $"vh", $"mw", $"mh"))
+        .select($"k", $"vw".cast("bigint").as("vw"), $"vh".cast("bigint").as("vh"),
+                $"mw".cast("bigint").as("mw"), $"mh".cast("bigint").as("mh"),
+                $"o._1".cast("bigint").as("out_w"), $"o._2".cast("bigint").as("out_h"))
+        .orderBy($"k")
+    },
+
+    // the FULL encode chain on an oracle path (P5 coordinate-checker mask,
+    // Geotools.java:577-581; the 1e35 magnitude guard; F3 epsilon nodata
+    // equality, RasterEncoder.java:167): synthesized 20x10 rasters run
+    // through TileEncoder.encode per executor with a mask predicate, a
+    // planted 1e36 cell, and nodata values within epsilon of 7.0 — the
+    // oracle replays every branch with the same IEEE expressions.
+    "q100_encode_mask" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.Raster
+      import graft.raster.TileEncoder
+      val w = 20; val h = 10
+      s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long")).as[Long]
+        .flatMap { k =>
+          val bands = Seq(Array.tabulate(w * h) { i =>
+            val x = i / h; val y = i % h
+            if ((x * 17 + y * 13 + k) % 11 == 0) 1.0e36
+            else if ((x + y + k) % 7 == 0) 7.0 + k * 1.0e-10
+            else (x * 31 + y * 17 + k).toDouble / 4.0
+          })
+          val r = Raster(f"item-$k%03d", k, w, h, 0, w, 0, h, 4326, bands)
+          val vals = TileEncoder.encode(r, TileEncoder.EncodeParams(
+            nodata = Set(7.0),
+            cellMask = Some((x, y) => (x + 2 * y + k) % 5 != 0)))
+          for (x <- 0 until w; y <- 0 until h) yield {
+            val v = vals(x * h + y)
+            (k, x.toLong, y.toLong,
+             if (java.lang.Double.isNaN(v)) None else Some(v))
+          }
+        }
+        .toDF("k", "x", "y", "v")
+        .orderBy($"k", $"x", $"y")
+    },
+
     // PALETTE GeoTIFF end-to-end (ColorMap tag 320 + photometric 3 — the
     // categorical landcover product shape; the reference reads these via
     // GeoTools' palette handling): 25 paletted landcover tiles written by
@@ -841,6 +898,44 @@ object RasterQueries {
 
     "q25_mosaic_substitute_grid" -> mosaicOracle("arg_max(v, k)"),
     "q68_geotiff_mosaic" -> mosaicOracle("arg_max(v, k)"),
+
+    "q99_viewport" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |p AS (SELECT k, k * 13 + 640 AS vw, k * 7 + 480 AS vh,
+        |        CASE WHEN k % 2 = 0 THEN k * 31 + 1000 ELSE k * 17 + 700 END AS mw,
+        |        CASE WHEN k % 2 = 0 THEN k * 17 + 700 ELSE k * 31 + 1000 END AS mh
+        |      FROM ks),
+        |a AS (SELECT *, CAST(mw AS DOUBLE) / mh AS ar FROM p),
+        |b AS (SELECT *,
+        |        CASE WHEN mw > mh THEN vw ELSE CAST(FLOOR(vh * ar) AS BIGINT) END AS x0,
+        |        CASE WHEN mw > mh THEN CAST(FLOOR(vw / ar) AS BIGINT) ELSE vh END AS y0
+        |      FROM a),
+        |c AS (SELECT *,
+        |        CASE WHEN mw > mh AND y0 > vh THEN CAST(vh AS DOUBLE) / y0
+        |             WHEN mw <= mh AND x0 > vw THEN CAST(vw AS DOUBLE) / x0
+        |             ELSE 1E0 END AS fc,
+        |        (mw > mh AND y0 > vh) OR (mw <= mh AND x0 > vw) AS shrink
+        |      FROM b)
+        |SELECT k, vw, vh, mw, mh,
+        |       CASE WHEN shrink THEN CAST(FLOOR(x0 * fc) AS BIGINT) ELSE x0 END AS out_w,
+        |       CASE WHEN shrink THEN CAST(FLOOR(y0 * fc) AS BIGINT) ELSE y0 END AS out_h
+        |FROM c ORDER BY k""".stripMargin,
+
+    "q100_encode_mask" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |cells AS (
+        |  SELECT ks.k, x.x, y.y
+        |  FROM ks, generate_series(0, 19) x(x), generate_series(0, 9) y(y)),
+        |raw AS (SELECT k, x, y,
+        |  CASE WHEN (x * 17 + y * 13 + k) % 11 = 0 THEN 1E36
+        |       WHEN (x + y + k) % 7 = 0 THEN 7E0 + k * 1E-10
+        |       ELSE CAST(x * 31 + y * 17 + k AS DOUBLE) / 4 END AS r FROM cells)
+        |SELECT k, x, y,
+        |  CASE WHEN (x + 2 * y + k) % 5 = 0 THEN NULL
+        |       WHEN r < -1E35 OR r > 1E35 THEN NULL
+        |       WHEN abs(r - 7E0) < 1E-9 THEN NULL
+        |       ELSE r END AS v
+        |FROM raw ORDER BY k, x, y""".stripMargin,
 
     "q94_palette_zonal" ->
       """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),

@@ -403,6 +403,68 @@ object SourceQueries {
         .orderBy($"identifier")
     },
 
+    // WCS capabilities catalog end-to-end (S4 + F1 + F2 + F11 + U2 on an
+    // oracle path): per server k, a v2 GetCapabilities doc with two
+    // CoverageSummary layers is DOM-parsed per executor into catalog rows
+    // (WCSServiceManager.java:726-755), identifiers run the `__`->`:`
+    // translation (:52-56), the capabilities CONTENT HASH (refresh skip,
+    // :646-663) is sha256 over the exact document text (the oracle rebuilds
+    // the byte-identical string and hashes it in SQL), a DEGENERATE
+    // single-point GetCoverage request exercises the envelope jiggle
+    // (axisRange/3,900,000 widening, :801-837 — the jiggled bbox is parsed
+    // BACK out of the built URL, so the URL text itself round-trips), and
+    // membership probes run as a real join against the catalog frame
+    // (:921-923).
+    "q98_wcs_catalog" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.TileGeometry
+      import graft.sources.WcsCatalog
+      val base = s.read.parquet(s"$dir/nation.parquet")
+        .select($"n_nationkey".cast("long").as("k"))
+      def summary(j: Int): Column = concat(
+        lit("<wcs:CoverageSummary><wcs:CoverageId>ns__layer_"),
+        $"k".cast("string"), lit(s"_$j"),
+        lit("</wcs:CoverageId><ows:WGS84BoundingBox><ows:LowerCorner>"),
+        ($"k" + j).cast("string"), lit(" "), ($"k" * 2 + j).cast("string"),
+        lit("</ows:LowerCorner><ows:UpperCorner>"),
+        ($"k" + j + 5).cast("string"), lit(" "), ($"k" * 2 + j + 3).cast("string"),
+        lit("</ows:UpperCorner></ows:WGS84BoundingBox></wcs:CoverageSummary>"))
+      val xml = concat(
+        lit("<wcs:Capabilities xmlns:wcs=\"http://www.opengis.net/wcs/2.0\" " +
+            "xmlns:ows=\"http://www.opengis.net/ows/2.0\"><wcs:Contents>"),
+        summary(0), summary(1), lit("</wcs:Contents></wcs:Capabilities>"))
+      val parse = udf { (xmlStr: String, k: Long) =>
+        val layers = WcsXml.layersFromCapabilities(xmlStr, 0L)
+        val hash = WcsCatalog.contentHash(xmlStr)
+        val geom = TileGeometry(100, 80, k.toDouble, k.toDouble,
+                                2.0 * k, 2.0 * k, 4326, 0, 0)
+        val url = WcsCatalog.buildRetrieveUrl("https://example.org/wcs",
+          s"ns__layer_${k}_0", "1.0.0", geom)
+        val bbox = url.split("bbox=")(1).split("&")(0).split(",").map(_.toDouble)
+        layers.map(l => (l.identifier, WcsCatalog.requestIdentifier(l.identifier),
+                         l.minX, l.maxX, l.minY, l.maxY, hash,
+                         bbox(0), bbox(1), bbox(2), bbox(3)))
+      }
+      val rows = base.select($"k", explode(parse(xml, $"k")).as("l"))
+        .select($"k", $"l._1".as("identifier"), $"l._2".as("request_id"),
+                $"l._3".as("minx"), $"l._4".as("maxx"),
+                $"l._5".as("miny"), $"l._6".as("maxy"), $"l._7".as("cap_hash"),
+                $"l._8".as("jig_w"), $"l._9".as("jig_s"),
+                $"l._10".as("jig_e"), $"l._11".as("jig_n"))
+      // membership: probe id exists for even servers, is absent for odd ones
+      val probes = base.select($"k",
+        concat(lit("ns__layer_"), $"k".cast("string"),
+               when($"k" % 2 === 0, "_1").otherwise("_9")).as("probe_id"))
+      val catalogIds = rows.select($"identifier".as("probe_id")).distinct()
+        .withColumn("hit", lit(true))
+      val probeHit = probes.join(broadcast(catalogIds), Seq("probe_id"), "left")
+        .select($"k", coalesce($"hit", lit(false)).as("probe_hit"))
+      rows.join(probeHit, "k")
+        .select($"identifier", $"request_id", $"minx", $"maxx", $"miny", $"maxy",
+                $"cap_hash", $"jig_w", $"jig_s", $"jig_e", $"jig_n", $"probe_hit")
+        .orderBy($"identifier")
+    },
+
     // WCS EO TemporalExtension (the reference's per-layer time domain —
     // WCSServiceManager.java:560-566, :577-579 consume start/end/timestamps
     // when EO extensions are present; GeoServer publishes a TimeDomain for
@@ -623,6 +685,42 @@ object SourceQueries {
         |       CAST(CAST(n_nationkey AS BIGINT) AS DOUBLE) AS nodata1,
         |       -9999.0E0 AS nodata2
         |FROM nation ORDER BY identifier""".stripMargin,
+
+    // q98: the oracle rebuilds the BYTE-IDENTICAL capabilities text and
+    // hashes it in SQL; envelope/jiggle/translation replayed as arithmetic
+    "q98_wcs_catalog" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |x AS (
+        |  SELECT k, concat(
+        |    '<wcs:Capabilities xmlns:wcs="http://www.opengis.net/wcs/2.0" xmlns:ows="http://www.opengis.net/ows/2.0"><wcs:Contents>',
+        |    '<wcs:CoverageSummary><wcs:CoverageId>ns__layer_', CAST(k AS VARCHAR), '_0',
+        |    '</wcs:CoverageId><ows:WGS84BoundingBox><ows:LowerCorner>',
+        |    CAST(k AS VARCHAR), ' ', CAST(k * 2 AS VARCHAR),
+        |    '</ows:LowerCorner><ows:UpperCorner>',
+        |    CAST(k + 5 AS VARCHAR), ' ', CAST(k * 2 + 3 AS VARCHAR),
+        |    '</ows:UpperCorner></ows:WGS84BoundingBox></wcs:CoverageSummary>',
+        |    '<wcs:CoverageSummary><wcs:CoverageId>ns__layer_', CAST(k AS VARCHAR), '_1',
+        |    '</wcs:CoverageId><ows:WGS84BoundingBox><ows:LowerCorner>',
+        |    CAST(k + 1 AS VARCHAR), ' ', CAST(k * 2 + 1 AS VARCHAR),
+        |    '</ows:LowerCorner><ows:UpperCorner>',
+        |    CAST(k + 6 AS VARCHAR), ' ', CAST(k * 2 + 4 AS VARCHAR),
+        |    '</ows:UpperCorner></ows:WGS84BoundingBox></wcs:CoverageSummary>',
+        |    '</wcs:Contents></wcs:Capabilities>') AS xml
+        |  FROM ks)
+        |SELECT concat('ns__layer_', CAST(x.k AS VARCHAR), '_', CAST(j.j AS VARCHAR)) AS identifier,
+        |       concat('ns:layer_', CAST(x.k AS VARCHAR), '_', CAST(j.j AS VARCHAR)) AS request_id,
+        |       CAST(x.k + j.j AS DOUBLE) AS minx,
+        |       CAST(x.k + j.j + 5 AS DOUBLE) AS maxx,
+        |       CAST(x.k * 2 + j.j AS DOUBLE) AS miny,
+        |       CAST(x.k * 2 + j.j + 3 AS DOUBLE) AS maxy,
+        |       sha256(x.xml) AS cap_hash,
+        |       CAST(x.k AS DOUBLE) - 360E0 / 3900000 AS jig_w,
+        |       CAST(x.k * 2 AS DOUBLE) - 180E0 / 3900000 AS jig_s,
+        |       CAST(x.k AS DOUBLE) + 360E0 / 3900000 AS jig_e,
+        |       CAST(x.k * 2 AS DOUBLE) + 180E0 / 3900000 AS jig_n,
+        |       (x.k % 2 = 0) AS probe_hit
+        |FROM x, generate_series(0, 1) j(j)
+        |ORDER BY identifier""".stripMargin,
 
     // q93: pure-BIGINT replay of the time-domain arithmetic; the Spark side
     // must round-trip the same epochs through ISO text + DOM + Instant
