@@ -242,7 +242,10 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     def jnum(d: Double): String =
-      if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
+      if (d.isNaN || d.isInfinite) "-1"
+      // Locale.ROOT: the f-interpolator is locale-sensitive — a
+      // comma-decimal locale would emit invalid JSON
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val teleJson = telemetry.map { case (k, t) =>

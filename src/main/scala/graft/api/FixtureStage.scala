@@ -1,27 +1,33 @@
 package graft.api
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentHashMap
 
 /**
  * Deterministic, stage-once fixture directories for queries that synthesize
- * file-backed inputs (the GeoTIFF scan queries q68/q69/q73/q74).
+ * file-backed inputs (the GeoTIFF scan queries q68/q69/q73/q74, q94, the
+ * split-file stream source).
  *
  * Earlier rounds created a fresh temp dir + a fresh JVM shutdown hook on
  * EVERY query invocation, so one driver run (Verify + bench warmup + bench
  * measured pass) accumulated 3+ hooks per query and re-synthesized the
  * fixture tree inside the timed region — fixture I/O polluted the bench
- * number. This helper fixes both:
+ * number. This helper fixes both, and is safe across PROCESSES:
  *
  *  - the path is deterministic per (name, version): `$tmpdir/graft_stage/
  *    <name>_v<version>`, so a warmup pass at any sf pre-stages the exact
- *    dir the measured pass reads (the fixtures derive from nation.parquet,
- *    which is byte-identical across all sf dirs — verified);
- *  - synthesis runs at most once per JVM (and is skipped entirely when a
- *    prior process already staged it): a `_STAGED` marker commits the
- *    synthesis, half-written trees from a killed run are wiped and redone;
- *  - exactly ONE shutdown hook for the whole JVM, registered lazily on
- *    first use, which removes the staging root.
+ *    dir the measured pass reads, and a later JVM reuses a prior JVM's
+ *    tree outright;
+ *  - synthesis is committed by an ATOMIC RENAME: `synth` writes into a
+ *    process-private scratch dir which is then moved onto the final path.
+ *    Concurrent first-stagings each build their own tree and the first
+ *    rename wins — the loser discards its scratch and reads the winner's
+ *    committed tree. No half-written tree is ever visible under the final
+ *    path, so no commit marker and no cross-process locking are needed;
+ *  - NO delete-on-exit hook: an exiting JVM must not delete a tree another
+ *    live JVM's cached path still points at. The footprint is a few MB of
+ *    deterministic fixtures under the OS-managed tmpdir — bounded and
+ *    reused, not leaked per-run.
  *
  * Bump `version` whenever the synthesized content changes — the path is the
  * cache key. In local mode this stages to the local tmpdir; on a cluster
@@ -29,7 +35,6 @@ import java.util.concurrent.ConcurrentHashMap
  */
 object FixtureStage {
   private val staged = new ConcurrentHashMap[String, String]()
-  @volatile private var hookInstalled = false
 
   private def root: Path = Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_stage")
@@ -42,16 +47,9 @@ object FixtureStage {
       catch { case _: Exception => () }
     }
 
-  private def ensureHook(): Unit = if (!hookInstalled) synchronized {
-    if (!hookInstalled) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(root)))
-      hookInstalled = true
-    }
-  }
-
   /**
    * Returns the absolute path of the staged directory for (name, version),
-   * running `synth(dir)` first iff no committed staging exists.
+   * running `synth(scratchDir)` first iff no committed staging exists.
    */
   def stage(name: String, version: Int)(synth: String => Unit): String = {
     val key = s"${name}_v$version"
@@ -60,14 +58,27 @@ object FixtureStage {
     synchronized {
       val again = staged.get(key)
       if (again != null) return again
-      ensureHook()
       val dir = root.resolve(key)
-      val marker = dir.resolve("_STAGED")
-      if (!Files.exists(marker)) {
-        deleteTree(dir) // wipe any half-written tree from a killed run
-        Files.createDirectories(dir)
-        synth(dir.toAbsolutePath.toString)
-        Files.createFile(marker)
+      if (!Files.isDirectory(dir)) {
+        Files.createDirectories(root)
+        // build in a process-private scratch, commit by rename
+        val scratch = Files.createTempDirectory(root, s".$key.")
+        try {
+          synth(scratch.toAbsolutePath.toString)
+          try Files.move(scratch, dir, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: AtomicMoveNotSupportedException =>
+              // same-filesystem rename is atomic on POSIX; the fallback
+              // plain move still presents rename semantics on local disks
+              try Files.move(scratch, dir)
+              catch { case _: Exception => require(Files.isDirectory(dir),
+                s"fixture staging for $key failed and no committed tree exists") }
+            case _: FileAlreadyExistsException => () // another process won
+            case _: java.nio.file.FileSystemException =>
+              require(Files.isDirectory(dir),
+                s"fixture staging for $key failed and no committed tree exists")
+          }
+        } finally deleteTree(scratch)
       }
       val abs = dir.toAbsolutePath.toString
       staged.put(key, abs)

@@ -63,7 +63,7 @@ object BucketedSelfJoin {
                   tag: String): DataFrame = {
     ensureListener(rows.sparkSession)
     val nb = "__graft_n_bucket" // internal marker; underscored against input collisions
-    val keys = keyCols.map(col)
+    val keys = keyCols.map(k => col(s"`$k`")) // quoted: dots are field syntax
     val oversized = rows.groupBy(keys: _*).agg(count(lit(1)).as(nb))
       .filter(col(nb) > cap)
     // left join against the (tiny, broadcast) oversized set with NULL-SAFE
@@ -75,10 +75,13 @@ object BucketedSelfJoin {
     // 1/n_bucket — integral by construction) without a driver-side job.
     val in = rows.as("graft_cap_in")
     val over = oversized.as("graft_cap_over")
-    val cond = keyCols.map(k => col(s"graft_cap_in.$k") <=> col(s"graft_cap_over.$k"))
+    // backtick-quote column names so dots (nested-field syntax) in user
+    // columns don't break the alias-qualified references
+    def q(alias: String, c: String) = col(s"$alias.`$c`")
+    val cond = keyCols.map(k => q("graft_cap_in", k) <=> q("graft_cap_over", k))
       .reduce(_ && _)
     val flagged = in.join(broadcast(over), cond, "left")
-      .select(rows.columns.map(c => col(s"graft_cap_in.$c")) :+ col(nb): _*)
+      .select(rows.columns.map(c => q("graft_cap_in", c)) :+ col(nb): _*)
       .observe(s"graft_bucket_cap_${tag}_${obsCounter.incrementAndGet()}",
         sum(when(col(nb).isNotNull, 1L).otherwise(0L)).as("n_rows_dropped"),
         coalesce(sum(when(col(nb).isNotNull,

@@ -30,13 +30,14 @@ import org.apache.spark.sql.functions._
  * Driver round-trips: rounds run BLIND in blocks of lazily-chained
  * localCheckpoints (the StacTraversal.walkItems shape) — no job, no action
  * per round. One job materializes the whole block and ONE probe per block
- * checks convergence (labels only decrease, so block-start vs block-end
- * inequality is exact). Block length is ceil(log2 nodes)+1 — the expected
- * total round count — capped at 12 because chained checkpoint frames
- * re-enter Catalyst planning with origin references whose cost compounds
- * per round (measured ~2.3x/round past ~15 chained frames; see BENCH.md's
- * exponential-planning incident); the block boundary's materializedLeaf
- * severs the chain.
+ * checks convergence (labels only decrease, so a quiet final round is the
+ * exact fixpoint signal). Block lengths grow geometrically (2, 4, 8, ...)
+ * capped at min(12, ceil(log2 nodes)+1): 12 because chained checkpoint
+ * frames re-enter Catalyst planning with origin references whose cost
+ * compounds per round (measured ~2.3x/round past ~15 chained frames; see
+ * BENCH.md's exponential-planning incident — the block boundary's
+ * materializedLeaf severs the chain), log2(n)+1 because doubling can never
+ * need more rounds than that.
  */
 object ConnectedComponents {
 
@@ -71,10 +72,12 @@ object ConnectedComponents {
       sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl")))
 
-    // one action up front (on the just-checkpointed labels) bounds the blind
-    // budget: doubling converges in ~log2(diameter) <= log2(n) rounds
+    // one action up front (on the just-checkpointed labels): n == 0 decides
+    // the empty case, and ceil(log2 n)+1 bounds any useful block length —
+    // doubling converges in ~log2(diameter) <= log2(n) rounds, so blocks
+    // longer than that are pure waste
     val n = lbl.count()
-    val logN = math.max(1, math.min(12,
+    val maxBlock = math.max(2, math.min(12,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 1))
 
     var round = 0
@@ -82,11 +85,12 @@ object ConnectedComponents {
     // GEOMETRIC block lengths (2, 4, 8, ...): short-diameter graphs — the
     // common near-dup case — stop after ~2x the rounds they need, while a
     // deep graph still amortizes probes to O(log) of its round count. A
-    // fixed log2(n)-round first block would run 12 blind rounds on a graph
-    // that converges in 4 (measured 2x wall on the q76 pair graph). Capped
-    // at 12 chained frames per block (Catalyst planning cost compounds with
-    // chain depth — see the header).
-    var blockSize = math.min(2, logN)
+    // fixed-length first block would run 12 blind rounds on a graph that
+    // converges in 4 (measured 2x wall on the q76 pair graph). Growth caps
+    // at min(12, ceil(log2 n)+1): 12 bounds chained-frame planning cost
+    // (it compounds with chain depth — see the header), log2(n)+1 bounds
+    // what a graph of n nodes can ever need.
+    var blockSize = math.min(2, maxBlock)
     while (!converged && round < maxRounds) {
       var prev = lbl
       var cur = lbl
@@ -131,7 +135,7 @@ object ConnectedComponents {
         .filter(col("lbl") < col("l0")).count()
       converged = changed == 0L
       lbl = next
-      blockSize = math.min(12, blockSize * 2)
+      blockSize = math.min(maxBlock, blockSize * 2)
       // info, not warn: round progress is normal operation (warn is reserved
       // for data-affecting events, matching BucketedSelfJoin's convention)
       log.info(s"connected-components: $round rounds run, " +

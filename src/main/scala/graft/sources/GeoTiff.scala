@@ -129,6 +129,13 @@ object GeoTiff {
       require(r.bands.length == 1, "palette applies to a single index band")
       require(p.nonEmpty && p.length <= (1 << bits),
               s"palette size ${p.length} exceeds 2^$bits")
+      // index validation: putVal truncates, so an out-of-range or
+      // non-integral code would silently WRAP into a wrong palette entry —
+      // fail loudly instead (NaN fails the >= 0 comparison)
+      val lim = 1 << bits
+      r.bands.head.foreach(v => require(
+        v >= 0 && v < lim && v == math.floor(v),
+        s"palette index $v is not an integer in [0, $lim)"))
     }
     require(bits == 32 || bits == 64 || palette.isDefined,
             s"unsupported float width $bits")

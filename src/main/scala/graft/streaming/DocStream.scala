@@ -53,17 +53,14 @@ object DocStream {
   def readDocsSplit(spark: SparkSession, dir: String, parts: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_split",
-      dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$parts")
-    val ready = staged.resolve("_READY")
-    if (!java.nio.file.Files.exists(ready)) {
-      if (java.nio.file.Files.exists(staged)) {
-        java.nio.file.Files.walk(staged)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      }
-      java.nio.file.Files.createDirectories(staged)
+    // FixtureStage (stage-once, atomic-rename commit); the key STAMPS the
+    // source file (size + mtime) so a regenerated corpus auto-invalidates
+    // the split instead of silently serving stale batches
+    val stamp = s"${java.nio.file.Files.size(src)}_" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val name = "stream_split_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_${parts}_$stamp"
+    val staged = graft.api.FixtureStage.stage(name, version = 1) { out =>
       val docs = spark.read.parquet(src.toString)
       (0 until parts).foreach { i =>
         val tmp = java.nio.file.Files.createTempDirectory("graft_split")
@@ -71,7 +68,7 @@ object DocStream {
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = java.nio.file.Files.list(tmp).filter(
           p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        val dst = staged.resolve(f"batch-$i%03d.parquet")
+        val dst = java.nio.file.Paths.get(out, f"batch-$i%03d.parquet")
         java.nio.file.Files.move(part, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.setLastModifiedTime(dst,
@@ -80,13 +77,12 @@ object DocStream {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       }
-      java.nio.file.Files.createFile(ready)
     }
     spark.readStream
       .schema(spark.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
-      .parquet(staged.toString)
+      .parquet(staged)
   }
 
   /** The events table as a file stream (same staging pattern as
@@ -220,11 +216,6 @@ object DocStream {
     }
   }
 
-  /** Stateful streaming dedup: the first doc_id seen for a text hash owns
-    * it; later arrivals are flagged duplicates. `stateTtl` bounds the state
-    * store (hashes idle longer than the TTL are evicted — state must not
-    * grow without bound on an endless corpus); Duration.Zero keeps state
-    * forever (bounded test corpora). */
   /** Streaming LSH near-dup candidates: per-micro-batch minhash band
     * signatures (the q33 arithmetic — one md5 array, band i = array_min of
     * substring i), then the capped stateful bucket transition
@@ -258,6 +249,11 @@ object DocStream {
       .toDF("doc_a", "doc_b")
   }
 
+  /** Stateful streaming dedup: the first doc_id seen for a text hash owns
+    * it; later arrivals are flagged duplicates. `stateTtl` bounds the state
+    * store (hashes idle longer than the TTL are evicted — state must not
+    * grow without bound on an endless corpus); Duration.Zero keeps state
+    * forever (bounded test corpora). */
   def dedupStream(spark: SparkSession, docs: DataFrame,
                   stateTtl: scala.concurrent.duration.Duration =
                     scala.concurrent.duration.Duration.Zero): DataFrame = {

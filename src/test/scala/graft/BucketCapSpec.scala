@@ -59,6 +59,14 @@ class BucketCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.select("n_bucket").as[Int].collect().forall(_ == 42))
   }
 
+  test("key columns containing dots survive the alias-qualified cap join") {
+    import spark.implicits._
+    val rows = Seq(("a", "X"), ("b", "X"), ("c", "Y")).toDF("doc_id", "sig.band")
+    val kept = BucketedSelfJoin.cappedByKey(rows, Seq("sig.band"), cap = 1, "dotspec")
+    assert(kept.select("doc_id").as[String].collect().toSet == Set("c"))
+    assert(kept.columns.toSeq == Seq("doc_id", "sig.band"))
+  }
+
   test("pairs are distinct across buckets (no double-count when two bands agree)") {
     import spark.implicits._
     val sigs = Seq(
