@@ -257,13 +257,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val heapMaxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    println(
+    val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       s""""sf":"$sfDir","flagship_docs_per_sec":$docsPerSec,"flagship_sec":$flagshipSec,""" +
       s""""n_docs":$nDocs,"cpus":$cpus,"warmup_dir":"$warmDir","warmup_sec":${jnum(warmupSec)},""" +
       s""""heap_max_mb":$heapMaxMb,"cooldown_sec":$cooldownSec,""" +
       s""""mhz_before_cooldown":${jnum(mhzBeforeCooldown)},"mhz_after_cooldown":${jnum(mhzAfterCooldown)},""" +
-      s""""telemetry":$teleJson}""")
+      s""""telemetry":$teleJson}"""
+    // Full record: persisted to a file AND printed, because the driver's
+    // stdout capture keeps only the last 2000 characters — round 4's
+    // telemetry evicted the per-query wall dict from that window, leaving
+    // BENCH_r04.json with parsed:null (VERDICT r4, "Next round #1").
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] full-record write failed: $e") }
+    println(fullRecord)
+    // Compact FINAL line, guaranteed to fit (and parse) inside a 2000-char
+    // tail: per-query walls under short keys (the qNN prefix of the full
+    // name — unique by construction), 2-decimal seconds, no telemetry.
+    // This line is the driver-facing record; the full record (exact names,
+    // 3-decimal walls, telemetry) lives at full_record.
+    def shortKey(k: String): String = {
+      val i = k.indexOf('_'); if (k.startsWith("q") && i > 0) k.substring(0, i) else k
+    }
+    def j2(d: Double): String =
+      if (d.isNaN || d.isInfinite) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val compactWalls = (results :+ ("flagship" -> flagshipSec))
+      .map { case (k, v) => jstr(shortKey(k)) + ":" + j2(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${j2(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"sf":"$sfDir","cpus":$cpus,""" +
+      s""""flagship_docs_per_sec":${j2(docsPerSec)},"flagship_sec":${j2(flagshipSec)},""" +
+      s""""full_record":${jstr(fullPath)},"queries":$compactWalls}""")
     sampler.shutdown()
     spark.stop()
   }

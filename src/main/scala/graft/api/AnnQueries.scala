@@ -131,9 +131,16 @@ object AnnQueries {
       val k = math.min(nprobe, cb.length)
       val hd = new Array[Double](k) // heap of kept dots; root = WORST kept
       val hc = new Array[Int](k)
-      // worse(a, b): entry a is worse than entry b under (-dot, c) order
-      @inline def worse(da: Double, ca: Int, db: Double, cb_ : Int): Boolean =
-        da < db || (da == db && ca > cb_)
+      // worse(a, b): entry a is worse than entry b under (-dot, c) order.
+      // Total order via java.lang.Double.compare on the NEGATED dots so a
+      // NaN dot (-NaN = NaN, which Spark's array_sort places greatest)
+      // ranks WORST — primitive `<` made NaN incomparable: a NaN that
+      // entered a filling heap could never be evicted and, at the root,
+      // blocked all replacements, diverging from the literal sort path.
+      @inline def worse(da: Double, ca: Int, db: Double, cb_ : Int): Boolean = {
+        val c0 = java.lang.Double.compare(-da, -db)
+        c0 > 0 || (c0 == 0 && ca > cb_)
+      }
       var size = 0
       var c = 0
       while (c < cb.length) {

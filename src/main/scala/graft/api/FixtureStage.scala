@@ -35,16 +35,39 @@ import java.util.concurrent.ConcurrentHashMap
  */
 object FixtureStage {
   private val staged = new ConcurrentHashMap[String, String]()
+  private val stampCache = new ConcurrentHashMap[String, String]()
+
+  /** Short content stamp (first 8 bytes of SHA-256, hex) of a source file,
+    * for folding into a stage key so fixtures DERIVED from that file
+    * auto-invalidate when the source is regenerated with different content
+    * — without it, a later JVM silently reuses a committed tree built from
+    * the old corpus. Content-based (not size+mtime) deliberately: the same
+    * bytes live under every sf dir with DIFFERENT mtimes, and a warmup pass
+    * at one sf must pre-stage the exact key the measured pass at another sf
+    * reads. Cached per (path, size, mtime) so repeated queries re-hash only
+    * when the file actually changes; the sources stamped this way are small
+    * dimension files (KBs). */
+  def contentStamp(path: String): String = {
+    val p = Paths.get(path)
+    val key = s"$path|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+    stampCache.computeIfAbsent(key, _ => {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(Files.readAllBytes(p)).take(8).map(b => f"$b%02x").mkString
+    })
+  }
 
   private def root: Path = Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_stage")
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
-      try Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => { Files.deleteIfExists(q); () })
-      catch { case _: Exception => () }
+      // close the walk stream — it holds an fd until closed
+      try {
+        val wk = Files.walk(p)
+        try wk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.deleteIfExists(q); () })
+        finally wk.close()
+      } catch { case _: Exception => () }
     }
 
   /**

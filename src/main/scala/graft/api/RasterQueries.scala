@@ -218,7 +218,7 @@ object RasterQueries {
       // total. The write is DISTRIBUTED: each executor synthesizes +
       // encodes its own items (local FS here; a cluster stages to shared
       // storage).
-      val stagePath = FixtureStage.stage("q68", version = 1) { out =>
+      val stagePath = FixtureStage.stage("q68_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
         s.read.parquet(s"$dir/nation.parquet")
           .select($"n_nationkey".cast("long")).as[Long].foreach { k =>
             val w = 30; val h = 20
@@ -325,7 +325,7 @@ object RasterQueries {
       import graft.sources.GeoTiff
       val labels = Seq("bare", "crops", "forest", "grass", "urban", "water")
       val pal = Seq.tabulate(6)(c => (c * 40, 255 - c * 40, c * 20))
-      val stagePath = FixtureStage.stage("q94", version = 1) { out =>
+      val stagePath = FixtureStage.stage("q94_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
         s.read.parquet(s"$dir/nation.parquet")
           .select($"n_nationkey".cast("long")).as[Long].foreach { k =>
             val w = 30; val h = 20
@@ -374,7 +374,7 @@ object RasterQueries {
       import graft.sources.GeoTiff
       // staged once per JVM (FixtureStage; see q68). Distributed write:
       // each executor synthesizes + encodes its own items.
-      val stagePath = FixtureStage.stage("q69", version = 1) { out =>
+      val stagePath = FixtureStage.stage("q69_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
         s.read.parquet(s"$dir/nation.parquet")
           .select($"n_nationkey".cast("long")).as[Long]
           .foreach { k =>
@@ -437,7 +437,7 @@ object RasterQueries {
       import graft.sources.GeoTiff
       // staged once per JVM (FixtureStage; see q68); q74 reads the same
       // fixture key, so the tree is written exactly once for both.
-      val stagePath = FixtureStage.stage("q73", version = 1) { out =>
+      val stagePath = FixtureStage.stage("q73_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
         s.read.parquet(s"$dir/nation.parquet")
           .select($"n_nationkey".cast("long")).as[Long]
           .foreach { k =>
@@ -492,7 +492,7 @@ object RasterQueries {
       import graft.sources.GeoTiff
       // same fixture tree as q73 — FixtureStage dedupes on the shared key,
       // so q73+q74 in one session write the 25 files exactly once.
-      val stagePath = FixtureStage.stage("q73", version = 1) { out =>
+      val stagePath = FixtureStage.stage("q73_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
         s.read.parquet(s"$dir/nation.parquet")
           .select($"n_nationkey".cast("long")).as[Long]
           .foreach { k =>

@@ -72,6 +72,10 @@ object GeoTiff {
   private val FtLong = 4
   private val FtAscii = 2
   private val FtDouble = 12
+  // BigTIFF (TIFF version 43) 8-byte types: LONG8 / SLONG8 / IFD8
+  private val FtLong8 = 16
+  private val FtSlong8 = 17
+  private val FtIfd8 = 18
 
   /** Write `band` of the raster as a single-band stripped GeoTIFF. */
   def write(r: Raster, file: File, band: Int = 0, bits: Int = 64,
@@ -1042,17 +1046,19 @@ object GeoTiff {
   private def firstValue(inline: Array[Byte], tpe: Int, order: ByteOrder): Long = {
     val b = ByteBuffer.wrap(inline).order(order)
     tpe match {
-      case FtShort     => (b.getShort(0) & 0xffff).toLong
-      case FtAscii | 1 => inline(0).toLong & 0xff
-      case _           => b.getInt(0).toLong & 0xffffffffL
+      case FtShort                     => (b.getShort(0) & 0xffff).toLong
+      case FtAscii | 1                 => inline(0).toLong & 0xff
+      case FtLong8 | FtSlong8 | FtIfd8 => b.getLong(0) // 8-byte slot (BigTIFF only)
+      case _                           => b.getInt(0).toLong & 0xffffffffL
     }
   }
 
   private def typeSize(tpe: Int): Int = tpe match {
-    case 1 | FtAscii | 6 | 7 => 1
-    case FtShort | 8         => 2
-    case FtLong | 9 | 11     => 4
-    case 5 | 10 | FtDouble   => 8
-    case _                   => 4
+    case 1 | FtAscii | 6 | 7           => 1
+    case FtShort | 8                   => 2
+    case FtLong | 9 | 11               => 4
+    case 5 | 10 | FtDouble             => 8
+    case FtLong8 | FtSlong8 | FtIfd8   => 8
+    case _                             => 4
   }
 }

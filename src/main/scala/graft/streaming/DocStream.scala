@@ -66,16 +66,21 @@ object DocStream {
         val tmp = java.nio.file.Files.createTempDirectory("graft_split")
         docs.filter(col("doc_id") % parts === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(
-          p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        // NIO directory streams hold a file descriptor until closed —
+        // unclosed, each staging leaked one fd per part
+        val ls = java.nio.file.Files.list(tmp)
+        val part =
+          try ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
         val dst = java.nio.file.Paths.get(out, f"batch-$i%03d.parquet")
         java.nio.file.Files.move(part, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder())
+        val wk = java.nio.file.Files.walk(tmp)
+        try wk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally wk.close()
       }
     }
     spark.readStream
