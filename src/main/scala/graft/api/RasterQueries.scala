@@ -532,6 +532,61 @@ object RasterQueries {
         .orderBy(col("cx"), col("cy"))
     },
 
+    // BigTIFF (TIFF version 43) through the COG-NATIVE window pipeline:
+    // identical fixture semantics to q73/q74 but every file is written
+    // with 8-byte IFD offsets/counts and LONG8 strip/tile offset arrays —
+    // the format GDAL emits for COGs past 4 GiB (the reference reads it
+    // transparently via GeoTools' TIFFImageReader). Shares q73's oracle:
+    // the format change must not move a single value, only the header
+    // bytes parsed. Probe/overview-select/window-decode all run on the
+    // BigTIFF IFD chain.
+    "q101_cog_bigtiff" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.{Raster, TileGeometry}
+      import graft.raster.CogFile
+      import graft.sources.GeoTiff
+      val stagePath = FixtureStage.stage(
+        "q101_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
+        s.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey".cast("long")).as[Long]
+          .foreach { k =>
+            val w = 32; val h = 16
+            val r = Raster(f"item-$k%03d", k, w, h,
+                           k * 6.0, k * 6.0 + 32.0, k * 4.0, k * 4.0 + 16.0, 4326,
+                           Seq(Array.tabulate(w * h)(i =>
+                             k * 1000.0 + ((i / h) * 31 + (i % h) * 17) % 97)))
+            GeoTiff.writeFull(r, new java.io.File(out, s"${r.item_id}.tif"),
+              bits = 32, deflate = true, tile = Some((16, 16)),
+              overviews = if (k % 2 == 0) Seq(2, 4) else Seq(2),
+              bigTiff = true)
+          }
+      }
+      val region = TileGeometry(100, 80, 0.0, 400.0, 0.0, 320.0, 4326, 0L, 0L)
+      val files = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content")
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          CogFile(id, id.stripPrefix("item-").toLong, bytes)
+        }
+      graft.raster.Mosaic.mergeToTilesCog(files, region, graft.raster.Mosaic.Substitute,
+                                          maxCells = 2000L,
+                                          targetCellWidth = region.cellWidth)
+        .flatMap { r =>
+          val x0 = math.round(r.minX / 4.0).toInt
+          val y0 = math.round(r.minY / 4.0).toInt
+          val vs = r.bands.head
+          for { x <- 0 until r.width; y <- 0 until r.height } yield
+            (x0 + x.toLong, y0 + y.toLong,
+             if (java.lang.Double.isNaN(vs(x * r.height + y))) None
+             else Some(vs(x * r.height + y)))
+        }
+        .toDF("cx", "cy", "v")
+        .withColumn("cell_idx", col("cx") * 80 + col("cy"))
+        .select(col("cx"), col("cy"), col("cell_idx"), col("v"))
+        .orderBy(col("cx"), col("cy"))
+    },
+
     // kernel-switched mosaic (W2 + the semantic chooser's override path,
     // RasterAdapter.java:59-88): the q25 items BILINEAR-resampled onto a 2x
     // coarser region — every target cell center lands exactly between four
@@ -1069,6 +1124,10 @@ object RasterQueries {
     // q74 replays identically to q73: the window pipeline must not change
     // a single value, only the bytes decoded.
     "q74_cog_window_mosaic" -> CogOverviewOracle,
+
+    // q101 replays identically too: BigTIFF is a header/offset format
+    // change, invisible to pixel values.
+    "q101_cog_bigtiff" -> CogOverviewOracle,
 
     // q71: the 4x4 cubic-convolution replay. fx = fy = 0.5 everywhere, so
     // per-axis tap weights are (-1, 9, 9, -1)/16; the 16 products are summed

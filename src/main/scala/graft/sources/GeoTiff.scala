@@ -32,10 +32,14 @@ import graft.model.Raster
  * ([[parseOverview]]) walks the IFD chain and decodes the COARSEST subfile
  * that still resolves the requested cell size — the GeoTools/GDAL
  * read-with-subsampling-hints behavior the reference gets from its
- * GridCoverage readers. Classic TIFF only; the ingest unit is a single byte
- * array, so the per-file limit is 2 GiB (offsets past the array fail with a
- * clear diagnostic) — the tiling discipline keeps per-file sizes far below
- * that; BigTIFF is a non-goal.
+ * GridCoverage readers. Both classic TIFF (version 42) and BigTIFF
+ * (version 43: 8-byte IFD offsets/counts, LONG8 strip/tile offset arrays —
+ * what GDAL emits for large COGs, and what the reference accepts
+ * transparently through GeoTools' TIFFImageReader) are read; the writer
+ * emits either via `bigTiff = true`. The ingest unit is a single byte
+ * array, so the per-file PAYLOAD limit is 2 GiB regardless of format
+ * (offsets past the array fail with a clear diagnostic) — the tiling
+ * discipline keeps per-file sizes far below that.
  *
  * Pixel order: TIFF rows are top-down; [[Raster]] is column-major with row 0
  * at the south edge (D2_XY) — the codec transposes on both paths, and the
@@ -100,9 +104,11 @@ object GeoTiff {
   def writeFull(r: Raster, file: File, bits: Int = 64, deflate: Boolean = false,
                 tile: Option[(Int, Int)] = None, planar: Int = 1,
                 overviews: Seq[Int] = Nil, predictor: Int = 1,
-                palette: Option[Seq[(Int, Int, Int)]] = None): Unit =
+                palette: Option[Seq[(Int, Int, Int)]] = None,
+                bigTiff: Boolean = false): Unit =
     Files.write(Paths.get(file.getPath),
-                encode(r, bits, deflate, tile, planar, overviews, predictor, palette))
+                encode(r, bits, deflate, tile, planar, overviews, predictor, palette,
+                       bigTiff))
 
   /** Nearest top-left decimation by `f` (the GDAL NEAREST overview rule). */
   private def decimate(r: Raster, f: Int): Raster = {
@@ -123,7 +129,8 @@ object GeoTiff {
   def encode(r: Raster, bits: Int = 64, deflate: Boolean = false,
              tile: Option[(Int, Int)] = None, planar: Int = 1,
              overviews: Seq[Int] = Nil, predictor: Int = 1,
-             palette: Option[Seq[(Int, Int, Int)]] = None): Array[Byte] = {
+             palette: Option[Seq[(Int, Int, Int)]] = None,
+             bigTiff: Boolean = false): Array[Byte] = {
     // palette mode (PhotometricInterpretation 3 + ColorMap, the categorical
     // landcover product shape): a single band of unsigned 8/16-bit palette
     // INDICES — the codes categorical pipelines consume (DataKey P4); the
@@ -237,6 +244,17 @@ object GeoTiff {
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putDouble); b.array()
     }
+    def longs8B(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong); b.array()
+    }
+    // chunk offset/byte-count arrays: BigTIFF writes LONG8 (the 8-byte
+    // fields that let real files exceed 4 GiB — and what exercises a
+    // reader's 64-bit offset path), classic writes LONG
+    val offTpe = if (bigTiff) FtLong8 else FtLong
+    def offsB(vs: Seq[Long]): Array[Byte] = if (bigTiff) longs8B(vs) else longsB(vs)
+    // inline value slot width: payloads at or under it live in the entry
+    val inlineLim = if (bigTiff) 8 else 4
 
     // subfiles: the full raster, then one reduced IFD per overview factor
     val subs: Seq[(Raster, Boolean)] =
@@ -244,7 +262,7 @@ object GeoTiff {
     val subChunks = subs.map { case (s, _) => chunksOf(s) }
 
     // ---- layout pass 1: chunk offsets across all subfiles ----
-    var cursor = 8L
+    var cursor = if (bigTiff) 16L else 8L
     val subChunkOffsets = subChunks.map(_.map { c =>
       if (cursor % 2 == 1) cursor += 1 // values begin on a word boundary
       val off = cursor; cursor += c.length; off
@@ -283,14 +301,14 @@ object GeoTiff {
              Seq((TPredictor, FtShort, 1, shorts(Seq(predictor.toLong)))) else Nil) ++
           (tile match {
             case None => Seq(
-              (TStripOffsets, FtLong, chunks.length, longsB(offs)),
+              (TStripOffsets, offTpe, chunks.length, offsB(offs)),
               (TRowsPerStrip, FtLong, 1, longsB(Seq(h.toLong))),
-              (TStripByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+              (TStripByteCounts, offTpe, chunks.length, offsB(chunks.map(_.length.toLong))))
             case Some((tw, th)) => Seq(
               (TTileWidth, FtLong, 1, longsB(Seq(tw.toLong))),
               (TTileLength, FtLong, 1, longsB(Seq(th.toLong))),
-              (TTileOffsets, FtLong, chunks.length, longsB(offs)),
-              (TTileByteCounts, FtLong, chunks.length, longsB(chunks.map(_.length.toLong))))
+              (TTileOffsets, offTpe, chunks.length, offsB(offs)),
+              (TTileByteCounts, offTpe, chunks.length, offsB(chunks.map(_.length.toLong))))
           })
         val extra = if (reduced) {
           // overview subfile: flagged reduced-resolution, NO geo tags — the
@@ -317,19 +335,28 @@ object GeoTiff {
 
     // ---- layout pass 2: payload blocks, then the IFDs back to back ----
     val subBlockOffsets: Seq[Map[Int, Long]] = subTagData.map(_.collect {
-      case (tag, _, _, payload) if payload.length > 4 =>
+      case (tag, _, _, payload) if payload.length > inlineLim =>
         if (cursor % 2 == 1) cursor += 1
         val off = cursor; cursor += payload.length
         tag -> off
     }.toMap)
+    // IFD: classic = u16 count + 12-byte entries + u32 next;
+    // BigTIFF  = u64 count + 20-byte entries + u64 next
     val ifdOffsets = subTagData.map { td =>
       if (cursor % 2 == 1) cursor += 1
-      val off = cursor; cursor += 2 + td.length * 12 + 4; off
+      val off = cursor
+      cursor += (if (bigTiff) 8 + td.length * 20 + 8 else 2 + td.length * 12 + 4)
+      off
     }
     val total = cursor
 
     val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets.head.toInt)
+    if (bigTiff)
+      // version 43, offset size 8, reserved 0, u64 first-IFD pointer
+      buf.put('I'.toByte).put('I'.toByte).putShort(43)
+        .putShort(8).putShort(0).putLong(ifdOffsets.head)
+    else
+      buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets.head.toInt)
     subChunks.zip(subChunkOffsets).foreach { case (chunks, offs) =>
       chunks.zip(offs).foreach { case (c, off) =>
         while (buf.position() < off) buf.put(0.toByte)
@@ -347,17 +374,19 @@ object GeoTiff {
     subTagData.indices.foreach { i =>
       while (buf.position() < ifdOffsets(i)) buf.put(0.toByte)
       val td = subTagData(i)
-      buf.putShort(td.length.toShort)
+      if (bigTiff) buf.putLong(td.length.toLong) else buf.putShort(td.length.toShort)
       td.foreach { case (tag, tpe, count, payload) =>
-        buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(count)
+        buf.putShort(tag.toShort).putShort(tpe.toShort)
+        if (bigTiff) buf.putLong(count.toLong) else buf.putInt(count)
         subBlockOffsets(i).get(tag) match {
-          case Some(off) => buf.putInt(off.toInt)
-          case None => // inline values are left-justified in the 4-byte slot
-            buf.put(java.util.Arrays.copyOf(payload, 4))
+          case Some(off) => if (bigTiff) buf.putLong(off) else buf.putInt(off.toInt)
+          case None => // inline values are left-justified in the value slot
+            buf.put(java.util.Arrays.copyOf(payload, inlineLim))
         }
       }
       // chain: each IFD points at the next subfile, the last at 0
-      buf.putInt(if (i + 1 < ifdOffsets.length) ifdOffsets(i + 1).toInt else 0)
+      val next = if (i + 1 < ifdOffsets.length) ifdOffsets(i + 1) else 0L
+      if (bigTiff) buf.putLong(next) else buf.putInt(next.toInt)
     }
     buf.array()
   }
@@ -576,23 +605,26 @@ object GeoTiff {
   private final case class Entry(tag: Int, tpe: Int, count: Int, valueOrOffset: Long,
                                  inline: Array[Byte])
 
-  /** Tag accessors over one IFD's entries. */
+  /** Tag accessors over one IFD's entries. `inlineLimit` is the entry value
+    * slot width: 4 (classic TIFF) or 8 (BigTIFF) — payloads at or under it
+    * live inline in the entry, larger ones behind an offset. */
   private final class Tags(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
-                           val entries: Map[Int, Entry]) {
+                           val entries: Map[Int, Entry], val inlineLimit: Int = 4) {
     def scalar(tag: Int, default: Long = -1): Long =
       entries.get(tag).map(_.valueOrOffset).getOrElse(default)
     def longs(tag: Int): Array[Long] = entries.get(tag) match {
       case None => Array.empty
       case Some(e) =>
-        if (typeSize(e.tpe) * e.count <= 4) {
-          // inline payload: decode ALL count values from the 4-byte slot
+        if (typeSize(e.tpe) * e.count <= inlineLimit) {
+          // inline payload: decode ALL count values from the value slot
           // (e.g. two SHORT strip byte-counts fit inline per the TIFF spec)
           val ib = ByteBuffer.wrap(e.inline).order(order)
           Array.tabulate(e.count) { i =>
             e.tpe match {
-              case FtShort => (ib.getShort(2 * i) & 0xffff).toLong
-              case FtLong  => ib.getInt(4 * i).toLong & 0xffffffffL
-              case 1       => e.inline(i).toLong & 0xff
+              case FtShort                     => (ib.getShort(2 * i) & 0xffff).toLong
+              case FtLong                      => ib.getInt(4 * i).toLong & 0xffffffffL
+              case FtLong8 | FtSlong8 | FtIfd8 => ib.getLong(8 * i)
+              case 1                           => e.inline(i).toLong & 0xff
               case other   => throw new IllegalArgumentException(s"tag ${e.tag} type $other")
             }
           }
@@ -600,8 +632,9 @@ object GeoTiff {
           val base = e.valueOrOffset.toInt
           Array.tabulate(e.count) { i =>
             e.tpe match {
-              case FtShort => (buf.getShort(base + 2 * i) & 0xffff).toLong
-              case FtLong  => buf.getInt(base + 4 * i).toLong & 0xffffffffL
+              case FtShort                     => (buf.getShort(base + 2 * i) & 0xffff).toLong
+              case FtLong                      => buf.getInt(base + 4 * i).toLong & 0xffffffffL
+              case FtLong8 | FtSlong8 | FtIfd8 => buf.getLong(base + 8 * i)
               case other   => throw new IllegalArgumentException(s"tag ${e.tag} type $other")
             }
           }
@@ -610,11 +643,17 @@ object GeoTiff {
     def doubles(tag: Int): Array[Double] = entries.get(tag) match {
       case None    => Array.empty
       case Some(e) =>
-        val base = e.valueOrOffset.toInt
-        Array.tabulate(e.count)(i => buf.getDouble(base + 8 * i))
+        // a single DOUBLE fits inline only in BigTIFF's 8-byte slot
+        if (8 * e.count <= inlineLimit)
+          Array.tabulate(e.count)(i =>
+            ByteBuffer.wrap(e.inline).order(order).getDouble(8 * i))
+        else {
+          val base = e.valueOrOffset.toInt
+          Array.tabulate(e.count)(i => buf.getDouble(base + 8 * i))
+        }
     }
     def ascii(tag: Int): Option[String] = entries.get(tag).map { e =>
-      val raw = if (e.count <= 4) e.inline.take(e.count)
+      val raw = if (e.count <= inlineLimit) e.inline.take(e.count)
                 else java.util.Arrays.copyOfRange(bytes, e.valueOrOffset.toInt,
                                                   e.valueOrOffset.toInt + e.count)
       new String(raw, "US-ASCII").takeWhile(_ != '\u0000').trim
@@ -622,41 +661,73 @@ object GeoTiff {
   }
 
   /** Read one IFD's entry table; returns the accessors + next-IFD offset
-    * (0 = end of chain). */
+    * (0 = end of chain). `big` selects the BigTIFF (version 43) layout:
+    * u64 entry count, 20-byte entries (u64 count + 8-byte value slot),
+    * u64 next pointer — vs classic's u16 / 12-byte / u32. */
   private def readIfd(bytes: Array[Byte], buf: ByteBuffer, order: ByteOrder,
-                      ifdOff: Long): (Tags, Long) = {
-    // the ingest unit is a byte array, so any uint32 offset past the array
-    // is unrepresentable — reject with a diagnostic instead of letting
-    // .toInt wrap negative into an ArrayIndexOutOfBounds
-    require(ifdOff >= 0 && ifdOff + 2 <= bytes.length,
+                      ifdOff: Long, big: Boolean): (Tags, Long) = {
+    // the ingest unit is a byte array, so any offset past the array is
+    // unrepresentable — reject with a diagnostic instead of letting
+    // .toInt wrap negative into an ArrayIndexOutOfBounds. (BigTIFF parses
+    // fine, but payloads past 2 GiB still exceed byte-array ingest.)
+    require(ifdOff >= 0 && ifdOff + (if (big) 8 else 2) <= bytes.length,
       s"IFD offset $ifdOff out of bounds (${bytes.length} bytes; " +
-        "classic TIFFs over 2 GiB are unsupported — byte-array ingest)")
-    val nEntries = buf.getShort(ifdOff.toInt) & 0xffff
+        "files over 2 GiB are unsupported — byte-array ingest)")
+    val entrySize = if (big) 20 else 12
+    val headSize = if (big) 8 else 2
+    val nEntries =
+      if (big) {
+        val n = buf.getLong(ifdOff.toInt)
+        require(n >= 0 && n <= 0xffff, s"implausible BigTIFF IFD entry count $n")
+        n.toInt
+      } else buf.getShort(ifdOff.toInt) & 0xffff
     val entries = (0 until nEntries).map { i =>
-      val off = ifdOff.toInt + 2 + i * 12
+      val off = ifdOff.toInt + headSize + i * entrySize
       val tag = buf.getShort(off) & 0xffff
       val tpe = buf.getShort(off + 2) & 0xffff
-      val count = buf.getInt(off + 4)
-      val inline = java.util.Arrays.copyOfRange(bytes, off + 8, off + 12)
-      val v = typeSize(tpe) * count match {
-        case sz if sz <= 4 => firstValue(inline, tpe, order)
-        case _             => buf.getInt(off + 8).toLong & 0xffffffffL
+      val count =
+        if (big) {
+          val c = buf.getLong(off + 4)
+          require(c >= 0 && c <= Int.MaxValue, s"tag $tag count $c exceeds byte-array ingest")
+          c.toInt
+        } else buf.getInt(off + 4)
+      val vOff = off + (if (big) 12 else 8)
+      val inline = java.util.Arrays.copyOfRange(bytes, vOff, vOff + (if (big) 8 else 4))
+      val v = typeSize(tpe).toLong * count match {
+        case sz if sz <= (if (big) 8 else 4) => firstValue(inline, tpe, order)
+        case _ =>
+          if (big) buf.getLong(vOff) else buf.getInt(vOff).toLong & 0xffffffffL
       }
       Entry(tag, tpe, count, v, inline)
     }.map(e => e.tag -> e).toMap
-    val next = buf.getInt(ifdOff.toInt + 2 + nEntries * 12).toLong & 0xffffffffL
-    (new Tags(bytes, buf, order, entries), next)
+    val nextOff = ifdOff.toInt + headSize + nEntries * entrySize
+    val next = if (big) buf.getLong(nextOff)
+               else buf.getInt(nextOff).toLong & 0xffffffffL
+    (new Tags(bytes, buf, order, entries, if (big) 8 else 4), next)
   }
 
-  private def openTiff(bytes: Array[Byte], itemId: String): (ByteBuffer, ByteOrder, Long) = {
+  /** Parse the TIFF header: returns (buffer, byte order, first-IFD offset,
+    * isBigTiff). Dispatches on the version word: 42 = classic TIFF,
+    * 43 = BigTIFF (8-byte offsets — the format GDAL writes for COGs over
+    * 4 GiB or with BIGTIFF=YES; the reference accepts it transparently
+    * through GeoTools' TIFFImageReader). */
+  private def openTiff(bytes: Array[Byte], itemId: String): (ByteBuffer, ByteOrder, Long, Boolean) = {
     require(bytes.length > 8, s"$itemId: not a TIFF")
     val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
     val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
     require(le || be, s"$itemId: bad TIFF byte-order marker")
     val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, s"$itemId: bad TIFF magic")
-    (buf, order, buf.getInt(4).toLong & 0xffffffffL)
+    buf.getShort(2) match {
+      case 42 => (buf, order, buf.getInt(4).toLong & 0xffffffffL, false)
+      case 43 =>
+        require(bytes.length >= 16, s"$itemId: truncated BigTIFF header")
+        // bytesize-of-offsets (always 8) + reserved zero word
+        require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+                s"$itemId: bad BigTIFF header (offset size ${buf.getShort(4)})")
+        (buf, order, buf.getLong(8), true)
+      case m => throw new IllegalArgumentException(s"$itemId: bad TIFF magic $m")
+    }
   }
 
   /**
@@ -669,8 +740,8 @@ object GeoTiff {
    * writer's upscale).
    */
   def colorMap(bytes: Array[Byte], itemId: String = "tiff"): Option[Seq[(Int, Int, Int)]] = {
-    val (buf, order, first) = openTiff(bytes, itemId)
-    val (tags, _) = readIfd(bytes, buf, order, first)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first, big)
     if (!tags.entries.contains(TColorMap)) None
     else {
       val vs = tags.longs(TColorMap)
@@ -687,12 +758,12 @@ object GeoTiff {
 
   /** Walk the IFD chain (IFD0 first). A COG carries 1 + #overviews entries. */
   def ifdChain(bytes: Array[Byte], itemId: String = "tiff"): Seq[IfdInfo] = {
-    val (buf, order, first) = openTiff(bytes, itemId)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
     val out = Seq.newBuilder[IfdInfo]
     var off = first
     var guard = 0
     while (off != 0 && guard < 64) {
-      val (tags, next) = readIfd(bytes, buf, order, off)
+      val (tags, next) = readIfd(bytes, buf, order, off, big)
       out += IfdInfo(off, tags.scalar(TImageWidth).toInt, tags.scalar(TImageLength).toInt,
                      (tags.scalar(TNewSubfileType, 0) & 1L) == 1L)
       off = next; guard += 1
@@ -707,8 +778,8 @@ object GeoTiff {
                          epsg: Int, width: Int, height: Int, bands: Int)
 
   def probe(bytes: Array[Byte], itemId: String = "tiff"): Probe = {
-    val (buf, order, first) = openTiff(bytes, itemId)
-    val (tags, _) = readIfd(bytes, buf, order, first)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first, big)
     val w = tags.scalar(TImageWidth).toInt; val h = tags.scalar(TImageLength).toInt
     val scale = tags.doubles(TModelPixelScale)
     val tie = tags.doubles(TModelTiepoint)
@@ -746,8 +817,8 @@ object GeoTiff {
    */
   def parseBands(bytes: Array[Byte], itemId: String, ts: Long,
                  select: Option[Seq[Int]]): Raster = {
-    val (buf, order, first) = openTiff(bytes, itemId)
-    val (tags, _) = readIfd(bytes, buf, order, first)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
+    val (tags, _) = readIfd(bytes, buf, order, first, big)
     decodeSubfile(bytes, buf, order, tags, tags, itemId, ts, select, None)
   }
 
@@ -776,8 +847,8 @@ object GeoTiff {
                      wMinX: Double, wMaxX: Double, wMinY: Double, wMaxY: Double,
                      select: Option[Seq[Int]] = None,
                      targetCellWidth: Double = 0.0): Option[Raster] = {
-    val (buf, order, first) = openTiff(bytes, itemId)
-    val (tags0, next0) = readIfd(bytes, buf, order, first)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
+    val (tags0, next0) = readIfd(bytes, buf, order, first, big)
     // choose the subfile (overview selection as in parseOverview)
     var chosen = tags0
     if (targetCellWidth > 0) {
@@ -789,7 +860,7 @@ object GeoTiff {
       var off = next0
       var guard = 0
       while (off != 0 && guard < 64) {
-        val (t, next) = readIfd(bytes, buf, order, off)
+        val (t, next) = readIfd(bytes, buf, order, off, big)
         val cw = spanX / t.scalar(TImageWidth).toInt
         if (cw <= targetCellWidth && cw > bestCw) { chosen = t; bestCw = cw }
         off = next; guard += 1
@@ -829,8 +900,8 @@ object GeoTiff {
   def parseOverview(bytes: Array[Byte], itemId: String, ts: Long,
                     targetCellWidth: Double,
                     select: Option[Seq[Int]] = None): Raster = {
-    val (buf, order, first) = openTiff(bytes, itemId)
-    val (tags0, next0) = readIfd(bytes, buf, order, first)
+    val (buf, order, first, big) = openTiff(bytes, itemId)
+    val (tags0, next0) = readIfd(bytes, buf, order, first, big)
     val w0 = tags0.scalar(TImageWidth).toInt
     val scale0 = tags0.doubles(TModelPixelScale)
     require(scale0.length >= 2, s"$itemId: missing GeoTIFF georeferencing tags")
@@ -840,7 +911,7 @@ object GeoTiff {
     var off = next0
     var guard = 0
     while (off != 0 && guard < 64) {
-      val (t, next) = readIfd(bytes, buf, order, off)
+      val (t, next) = readIfd(bytes, buf, order, off, big)
       val cw = spanX / t.scalar(TImageWidth).toInt
       if (cw <= targetCellWidth && cw > best._2) best = (t, cw)
       off = next; guard += 1

@@ -702,4 +702,59 @@ class GeoTiffSpec extends AnyFunSuite {
     val ex = intercept[Exception](GeoTiff.parse(bytes, "trunc"))
     assert(ex.getMessage != null)
   }
+
+  test("BigTIFF single-strip round-trip is bit-exact (inline LONG8 offsets)") {
+    val r = mkRaster(4326)
+    // single strip => the one-element LONG8 offset/bytecount arrays fit the
+    // 8-byte inline slot — the inline Long8 decode path
+    val bytes = GeoTiff.encode(r, bigTiff = true)
+    assert(bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte)
+    assert(((bytes(2) & 0xff) | ((bytes(3) & 0xff) << 8)) == 43, "version 43")
+    assert(((bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)) == 8, "offset size 8")
+    val back = GeoTiff.parse(bytes, "big1", 42L)
+    assert((back.width, back.height) == (r.width, r.height))
+    assert((back.minX, back.maxX, back.minY, back.maxY) == (10.0, 27.0, -5.0, 6.0))
+    assert(back.epsg == 4326)
+    sameValues(r.bands.head, back.bands.head)
+  }
+
+  test("BigTIFF multi-band tiled+deflate+overviews: probe, chain, windowed COG read") {
+    val r = mkMulti(64, 48)
+    val bytes = GeoTiff.encode(r, bits = 64, deflate = true, tile = Some((16, 16)),
+                               overviews = Seq(2, 4), bigTiff = true)
+    // header-only probe sees through the BigTIFF IFD
+    val p = GeoTiff.probe(bytes, "bigcog")
+    assert((p.width, p.height, p.bands, p.epsg) == (64, 48, 3, 32618))
+    // IFD0 + two overview subfiles, reduced flags set
+    val chain = GeoTiff.ifdChain(bytes, "bigcog")
+    assert(chain.map(i => (i.width, i.height, i.reduced)) ==
+      Seq((64, 48, false), (32, 24, true), (16, 12, true)))
+    // full decode matches classic encode of the same raster
+    val classic = GeoTiff.parse(GeoTiff.encode(r, bits = 64, deflate = true,
+      tile = Some((16, 16)), overviews = Seq(2, 4)), "classic", 7L)
+    val big = GeoTiff.parse(bytes, "bigcog", 7L)
+    for (b <- 0 until 3) sameValues(classic.bands(b), big.bands(b))
+    // windowed read through the overview chain: identical classic vs big
+    val win = (8.0, 24.0, 8.0, 20.0)
+    val wb = GeoTiff.parseWindowOpt(bytes, "bigcog", 7L,
+      win._1, win._2, win._3, win._4, targetCellWidth = 2.0)
+    val wc = GeoTiff.parseWindowOpt(GeoTiff.encode(r, bits = 64, deflate = true,
+      tile = Some((16, 16)), overviews = Seq(2, 4)), "classic", 7L,
+      win._1, win._2, win._3, win._4, targetCellWidth = 2.0)
+    assert(wb.isDefined && wc.isDefined)
+    assert((wb.get.width, wb.get.height) == (wc.get.width, wc.get.height))
+    for (b <- 0 until 3) sameValues(wc.get.bands(b), wb.get.bands(b))
+  }
+
+  test("BigTIFF palette file round-trips codes and ColorMap") {
+    val w = 20; val h = 12
+    val codes = Array.tabulate(w * h)(i => (i % 5).toDouble)
+    val r = Raster("pal", 0L, w, h, 0.0, w.toDouble, 0.0, h.toDouble, 4326, Seq(codes))
+    val pal = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120), (130, 140, 150))
+    val bytes = GeoTiff.encode(r, bits = 8, palette = Some(pal), bigTiff = true)
+    val back = GeoTiff.parse(bytes, "pal", 0L)
+    sameValues(codes, back.bands.head)
+    // ColorMap carries 2^bits entries, zero-padded past the palette
+    assert(GeoTiff.colorMap(bytes, "pal").map(_.take(pal.length)).contains(pal))
+  }
 }
