@@ -27,6 +27,14 @@ import org.apache.spark.sql.expressions.Window
  *    iteration (assign to ladder init, per-cluster integer-mean update)
  *    whose arithmetic the DuckDB oracle replays bit-for-bit; then the same
  *    zero-shuffle assignment and nprobe search as q43.
+ *  - q97: BROADCAST codebook at K=4096 (plan size O(1) in K; bounded
+ *    top-nprobe heap in the assignment UDF).
+ *  - q102: multi-assignment (top-2 homes) + exact dense-rank re-rank — the
+ *    recall-recovery stage: 83% recall@3 at the same 25% probe fraction
+ *    where q43 measures 47% (graft.tools.AnnRecall, sf0.01).
+ *  - q103: TRAINED broadcast codebook at K=1024 — q44's exact Lloyd pass
+ *    with the assignment riding the q97 broadcast UDF on both the train
+ *    and serve passes.
  *
  * Only ranks are emitted (not raw cosines) so last-ulp float differences
  * can't flip a hash compare; rank ties are broken by vec_id.
@@ -69,6 +77,17 @@ object AnnQueries {
   val IvfQuant = 1000000L
   private val IntInitCents: Seq[Seq[Long]] =
     (0 until IvfK).map(c => (0 until 64).map(d => (((c * 37 + d * 11) % 13) - 6).toLong * 166667L))
+
+  /** q103 large-K INTEGER init codebook (K=1024): the q97 long-period hash
+    * at an integer scale (~5e5) commensurate with IvfQuant-quantized
+    * vectors, so one exact Lloyd iteration trains it. All dot products stay
+    * below 2^53 (|q| <= ~3e6, |w| <= ~3e6, 64 dims -> < 6e14), so the
+    * broadcast path's double accumulation is EXACT integer arithmetic —
+    * the bit-equality the oracle compare and AnnEquivalenceSpec rely on. */
+  val BigIvfK = 1024
+  private[graft] val BigIntInit: Seq[Seq[Long]] =
+    (0 until BigIvfK).map(c => (0 until 64).map(d =>
+      ((c.toLong * 2654435761L + d * 40503L) % 8191L - 4095L) * 122L))
 
   /** q97 large-K codebook: 4096 centroids from a LONG-PERIOD integer hash —
     * the q43 ladder recurrence is mod-13 periodic, which would collapse
@@ -280,6 +299,43 @@ object AnnQueries {
       ivfSearch(assigned, nprobe = 64)
     },
 
+    // TRAINED broadcast-codebook IVF at K=1024 (q44's training x q97's
+    // distribution): the integer init codebook rides a broadcast into the
+    // assignment UDF for the Lloyd pass, the TRAINED result round-trips
+    // driver -> broadcast -> UDF for the search pass — the full
+    // train-then-serve lifecycle of a large-K index, with plan size O(1)
+    // in K on both passes. All arithmetic is exact (integer values below
+    // 2^53 accumulated as doubles), so the DuckDB integer replay matches
+    // bit-for-bit. Queries probe 16/1024 clusters (1.6%, the q97 fraction).
+    "q103_ann_ivf_trained_broadcast" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vn", sqrt(dot($"v", $"v")))
+        .withColumn("q", transform($"v", x => round(x * IvfQuant, 0).cast("bigint")))
+      val trained = trainCodebook(emb, BigIntInit, broadcastAssign = true)
+      val assigned = assignProbesBroadcast(
+          emb.withColumn("qd", $"q".cast("array<double>")),
+          trained.map(_.map(_.toDouble)), nprobe = 16, "qd")
+        .drop("q", "qd")
+      ivfSearch(assigned, nprobe = 16)
+    },
+
+    // IVF with MULTI-ASSIGNMENT + exact re-rank (the recall-recovery stage):
+    // database vectors indexed under their top-2 centroids, queries probe
+    // the same 4/16 clusters as q43 — same probe fraction, strictly larger
+    // candidate union, duplicates collapsed by the dense-rank re-rank (see
+    // ivfSearchRerank). AnnRecall measures the recall gain over q43 at the
+    // identical 25% probe fraction.
+    "q102_ann_ivf_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vn", sqrt(dot($"v", $"v")))
+      val assigned = assignProbes(emb, centArrayLit(LadderCents), nprobe = 4, dot, "v")
+      ivfSearchRerank(assigned, nprobe = 4, homeR = 2)
+    },
+
     "q41_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -313,10 +369,23 @@ object AnnQueries {
     * exact floor-mean of its members (empty clusters keep the init row).
     * The 8x64 trained codebook is collected to the driver and re-broadcast
     * as a literal — the IVF-training analog of a kmeans fit. */
-  private def trainCodebook(emb: DataFrame): Seq[Seq[Long]] = {
+  private[graft] def trainCodebook(emb: DataFrame,
+                            init: Seq[Seq[Long]] = IntInitCents,
+                            broadcastAssign: Boolean = false): Seq[Seq[Long]] = {
     import emb.sparkSession.implicits._
-    val home = assignProbes(emb.select($"vec_id", $"q"),
-        centArrayLitL(IntInitCents), nprobe = 1, idot, "q")
+    val k = init.length
+    // assignment: literal codebook for small K, SparkContext broadcast for
+    // large K (the q97 shape). The broadcast path's double accumulation is
+    // exact on these integer magnitudes (< 2^53), so both paths agree
+    // bit-for-bit (AnnEquivalenceSpec pins it).
+    val home =
+      if (broadcastAssign)
+        assignProbesBroadcast(
+          emb.select($"vec_id", $"q", $"q".cast("array<double>").as("qd")),
+          init.map(_.map(_.toDouble)), nprobe = 1, "qd")
+          .select($"q", $"c")
+      else assignProbes(emb.select($"vec_id", $"q"),
+        centArrayLitL(init), nprobe = 1, idot, "q")
       .select($"q", $"c")
     val sums = home
       .select($"c", posexplode($"q").as(Seq("d", "qv")))
@@ -331,8 +400,8 @@ object AnnQueries {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    (0 until IvfK).map(c => (0 until 64).map(d =>
-      sums.getOrElse((c, d), IntInitCents(c)(d))))
+    (0 until k).map(c => (0 until 64).map(d =>
+      sums.getOrElse((c, d), init(c)(d))))
   }
 
   /** Shared IVF probe search: homes (rk=1) joined to broadcast query probes
@@ -353,9 +422,46 @@ object AnnQueries {
       .orderBy($"qid", $"rnk")
   }
 
+  /**
+   * Multi-assignment IVF search with an exact re-rank (the recall-recovery
+   * stage q43/q44 lack): every DATABASE vector is indexed under its top
+   * `homeR` centroids — the standard IVF replication trade (index memory,
+   * not query cost, buys recall) — so a query probing the same nprobe
+   * clusters sees a strictly larger candidate union. The union carries
+   * duplicates (a vector can reach one query through several shared
+   * clusters); re-ranking dedups them INSIDE the existing per-query window
+   * pass: cosine does not depend on WHICH cluster matched, so exact
+   * duplicate rows tie bitwise on the (cos DESC, vec_id) order key and
+   * DENSE_RANK collapses them to one rank — rank <= k then equals the
+   * row_number of the deduped candidate set, with zero additional
+   * shuffle below or beside the window (the final distinct runs on <= k
+   * rows per query). */
+  private def ivfSearchRerank(assigned: DataFrame, nprobe: Int, homeR: Int): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val homes = assigned.filter($"rk" <= homeR)
+      .select($"vec_id", $"v", $"vn", $"c")
+    val qprobes = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"vn".as("qn"), $"c")
+    val cand = homes.join(broadcast(qprobes), "c")
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
+    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    cand.withColumn("rnk", dense_rank().over(wTop).cast("bigint"))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"vec_id")
+      .distinct()
+      .orderBy($"qid", $"rnk")
+  }
+
   /** q44 oracle scaffolding: per-dim exploded quantized vectors + the
     * integer init codebook + one exact Lloyd step, all in SQL. */
-  private def trainedCentsSql: String =
+  private def trainedCentsSql: String = trainedCentsSqlFor(
+    IvfK, "CAST((((c.c * 37 + d.d * 11) % 13) - 6) * 166667 AS BIGINT)")
+
+  /** Training replay parameterized by K and the init-codebook expression
+    * (in terms of c.c / d.d) — shared by q44 (small K, ladder init) and
+    * q103 (K=1024, long-period-hash init). */
+  private def trainedCentsSqlFor(k: Int, initW: String): String =
     s"""vq AS (
        |  SELECT vec_id, v, vn,
        |         list_transform(v, x -> CAST(ROUND(x * $IvfQuant, 0) AS BIGINT)) AS q
@@ -364,8 +470,8 @@ object AnnQueries {
        |  SELECT vec_id, unnest(q) AS qv, unnest(generate_series(0, 63)) AS d FROM vq),
        |m0 AS (
        |  SELECT c.c, d.d,
-       |         CAST((((c.c * 37 + d.d * 11) % 13) - 6) * 166667 AS BIGINT) AS w
-       |  FROM generate_series(0, ${IvfK - 1}) c(c), generate_series(0, 63) d(d)),
+       |         $initW AS w
+       |  FROM generate_series(0, ${k - 1}) c(c), generate_series(0, 63) d(d)),
        |dots0 AS (
        |  SELECT vdim.vec_id, m0.c, SUM(vdim.qv * m0.w) AS dt
        |  FROM vdim JOIN m0 ON vdim.d = m0.d GROUP BY 1, 2),
@@ -434,6 +540,37 @@ object AnnQueries {
          |      FROM cand)
          |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
+    // q102: multi-assignment homes (rk <= 2) + dense-rank re-rank. cosine
+    // is independent of the matched cluster, so duplicate candidate rows
+    // tie bitwise and DENSE_RANK = row_number of the deduped union.
+    "q102_ann_ivf_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT c.c,
+         |         (SELECT LIST(CAST(((c.c * 37 + d * 11) % 13) - 6 AS DOUBLE) / 6.0 ORDER BY d)
+         |          FROM generate_series(0, 63) t(d)) AS w
+         |  FROM generate_series(0, 15) c(c)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, e.vn, c.c,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.v, c.w) DESC, c.c) AS rk
+         |  FROM e, cents c),
+         |homes AS (SELECT vec_id, v, vn, c FROM scored WHERE rk <= 2),
+         |qprobes AS (SELECT vec_id AS qid, v AS qv, vn AS qn, c FROM scored
+         |            WHERE rk <= 4 AND vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, h.vec_id,
+         |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos
+         |  FROM homes h JOIN qprobes q ON h.c = q.c
+         |  WHERE h.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |             DENSE_RANK() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |SELECT DISTINCT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
     "q97_ann_ivf_broadcast" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -481,6 +618,40 @@ object AnnQueries {
          |  SELECT e.vec_id AS qid, e.v AS qv, e.vn AS qn, r.c
          |  FROM ranked r JOIN e ON r.vec_id = e.vec_id
          |  WHERE r.rk <= 2 AND e.vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, h.vec_id,
+         |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos
+         |  FROM homes h JOIN qprobes q ON h.c = q.c
+         |  WHERE h.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // q103: identical replay to q44's trained path at K=1024 with the
+    // long-period-hash integer init and nprobe 16. The Spark side runs
+    // both passes through the broadcast UDF; integer-exact arithmetic
+    // makes the two engines bit-equal.
+    "q103_ann_ivf_trained_broadcast" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |${trainedCentsSqlFor(BigIvfK,
+              "CAST(((c.c * 2654435761 + d.d * 40503) % 8191 - 4095) * 122 AS BIGINT)")},
+         |dots1 AS (
+         |  SELECT vdim.vec_id, m1.c, SUM(vdim.qv * m1.w) AS dt
+         |  FROM vdim JOIN m1 ON vdim.d = m1.d GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, c) AS rk
+         |  FROM dots1),
+         |homes AS (
+         |  SELECT e.vec_id, e.v, e.vn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id WHERE r.rk = 1),
+         |qprobes AS (
+         |  SELECT e.vec_id AS qid, e.v AS qv, e.vn AS qn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id
+         |  WHERE r.rk <= 16 AND e.vec_id < 10),
          |cand AS (
          |  SELECT q.qid, h.vec_id,
          |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos

@@ -40,6 +40,32 @@ class AnnEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trained path: broadcast-assigned Lloyd == literal-assigned Lloyd, bit-identical") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("q", transform($"v", x => round(x * AnnQueries.IvfQuant, 0).cast("bigint")))
+    // the q103 K=1024 integer init: the training assignment through the
+    // broadcast UDF (double accumulation of exact integers) must reproduce
+    // the literal integer-dot path's codebook EXACTLY — same homes, same
+    // member sums, same floor-means
+    val viaLit = AnnQueries.trainCodebook(emb, AnnQueries.BigIntInit, broadcastAssign = false)
+    val viaBc = AnnQueries.trainCodebook(emb, AnnQueries.BigIntInit, broadcastAssign = true)
+    assert(viaBc === viaLit)
+    // and the SEARCH assignment over the trained codebook agrees across
+    // paths too (literal long codebook + integer dot vs broadcast doubles)
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val asgLit = AnnQueries.assignProbes(
+        emb, typedLit(viaLit), nprobe = 4, idot, "q")
+      .select($"vec_id", $"rk", $"c").as[(Long, Int, Int)].collect().toSet
+    val asgBc = AnnQueries.assignProbesBroadcast(
+        emb.withColumn("qd", $"q".cast("array<double>")),
+        viaBc.map(_.map(_.toDouble)), nprobe = 4, "qd")
+      .select($"vec_id", $"rk", $"c").as[(Long, Int, Int)].collect().toSet
+    assert(asgBc === asgLit)
+  }
+
   test("broadcast path plan stays shuffle-free below the explode") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

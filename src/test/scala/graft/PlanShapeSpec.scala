@@ -63,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
   }
 
+  test("q102: multi-assignment re-rank stays shuffle-free below the probe join") {
+    val plan = executed("q102_ann_ivf_rerank")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, "probe join missing from the plan")
+    val below = plan.substring(joinIdx)
+    assert(count(below, "Window") == 0, "argmax must not be a Window")
+    assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
+  }
+
   test("q12: the winding refine lives in the join, not a post-join filter") {
     val plan = executed("q12_pip_join")
     assert(plan.contains("graft_contains"), "winding refine missing")
