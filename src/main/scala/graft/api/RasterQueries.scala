@@ -359,6 +359,55 @@ object RasterQueries {
         .orderBy($"item_id", $"code")
     },
 
+    // 16-BIT palette zonal (q94's path at a code space no 8-bit index can
+    // hold): 300 landcover classes -> BitsPerSample 16, 2^16-entry ColorMap
+    // (the legal TIFF shape: 3 x 2^bits SHORTs), palette indices decoded
+    // from uint16 samples. Any defect in 16-bit index decode, the 16-bit
+    // ColorMap plane layout, or the wide DataKey dictionary pairing flips
+    // the hash.
+    "q104_palette16_zonal" -> { (s, dir) =>
+      import s.implicits._
+      import graft.model.Raster
+      import graft.raster.DataKey
+      import graft.sources.GeoTiff
+      val nClasses = 300
+      val labels = (0 until nClasses).map(c => f"class-$c%03d")
+      val pal = Seq.tabulate(nClasses)(c => (c % 256, (c * 3) % 256, (c * 7) % 256))
+      val stagePath = FixtureStage.stage(
+        "q104_" + FixtureStage.contentStamp(s"$dir/nation.parquet"), version = 1) { out =>
+        s.read.parquet(s"$dir/nation.parquet")
+          .select($"n_nationkey".cast("long")).as[Long].foreach { k =>
+            val w = 30; val h = 20
+            val codes = Array.tabulate(w * h)(i =>
+              ((i / h * 31 + i % h * 17 + k * 7) % nClasses).toDouble)
+            val r = Raster(f"item-$k%03d", k, w, h,
+                           k * 3.0, k * 3.0 + w, k * 2.0, k * 2.0 + h, 4326, Seq(codes))
+            GeoTiff.writeFull(r, new java.io.File(out, s"${r.item_id}.tif"),
+                              bits = 16, deflate = true, palette = Some(pal))
+          }
+      }
+      val counts = s.read.format("binaryFile").load(stagePath + "/*.tif")
+        .select($"path", $"content").as[(String, Array[Byte])]
+        .flatMap { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".tif")
+          val r = GeoTiff.parse(bytes, id)
+          val cm = GeoTiff.colorMap(bytes, id)
+            .getOrElse(throw new IllegalArgumentException(s"$id: no ColorMap"))
+          r.bands.head.map { v =>
+            val c = v.toInt
+            (id, c.toLong, cm(c)._1.toLong, cm(c)._2.toLong, cm(c)._3.toLong)
+          }
+        }
+        .toDF("item_id", "code", "red", "green", "blue")
+        .groupBy($"item_id", $"code", $"red", $"green", $"blue")
+        .agg(count(lit(1)).as("n_cells"))
+      val dict = DataKey.toTable(s, DataKey.fromLabels(labels))
+        .withColumn("code", $"code".cast("long"))
+      counts.join(broadcast(dict), Seq("code"))
+        .select($"item_id", $"code", $"label", $"n_cells", $"red", $"green", $"blue")
+        .orderBy($"item_id", $"code")
+    },
+
     // multi-band tiled GeoTIFF (COG shape) end-to-end (S1 completion +
     // P1/A1 from FILE BYTES, RasterEncoder.java:107-113,
     // StacResource.java:433-437): 25 three-band 30x20 rasters written as
@@ -1004,6 +1053,22 @@ object RasterQueries {
         |       cnt.c AS code, lab.label, cnt.n_cells,
         |       cnt.c * 40 AS red, 255 - cnt.c * 40 AS green, cnt.c * 20 AS blue
         |FROM cnt JOIN lab ON cnt.c = lab.c
+        |ORDER BY item_id, code""".stripMargin,
+
+    // q104: the q94 replay at 300 classes / 16-bit indices; labels and
+    // colors are pure integer functions of the code
+    "q104_palette16_zonal" ->
+      """WITH ks AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |cells AS (
+        |  SELECT ks.k, (x.x * 31 + y.y * 17 + ks.k * 7) % 300 AS c
+        |  FROM ks, generate_series(0, 29) x(x), generate_series(0, 19) y(y)),
+        |cnt AS (SELECT k, c, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells GROUP BY k, c)
+        |SELECT concat('item-', lpad(CAST(cnt.k AS VARCHAR), 3, '0')) AS item_id,
+        |       cnt.c AS code,
+        |       concat('class-', lpad(CAST(cnt.c AS VARCHAR), 3, '0')) AS label,
+        |       cnt.n_cells,
+        |       cnt.c % 256 AS red, (cnt.c * 3) % 256 AS green, (cnt.c * 7) % 256 AS blue
+        |FROM cnt
         |ORDER BY item_id, code""".stripMargin,
 
     // q69: same grid/ownership as q25/q68, but each contribution is the

@@ -104,10 +104,27 @@ object SpatialJoin {
    */
   final case class JoinPlan(strategy: String, hotCells: Map[Long, Int])
 
+  /** Session-scoped planner cache: (session, zone-side semantic plan hash,
+    * level, planner params) -> JoinPlan. Repeated auto-joins against the
+    * SAME zone table (the dominant pattern: one zone layer, many point
+    * batches) skip the zone-cover count AND the sampled point histogram —
+    * two driver-blocking jobs per call otherwise. The key hashes the
+    * zones' ANALYZED logical plan (canonicalized), so any semantically
+    * different zone frame misses; the point-side histogram is deliberately
+    * NOT keyed — within one session the salting degree is a performance
+    * heuristic for one workload's distribution, never a correctness input
+    * (the salted and broadcast paths return identical rows, SkewJoinSpec).
+    * Bounded: one small JoinPlan per distinct (zones, level, params). */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long, Long, Long), JoinPlan]()
+  /** Planner executions (cache misses) — observable by SkewJoinSpec. */
+  private[graft] val plannerRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   def planPointsInZones(points: DataFrame, zoneCells: DataFrame,
                         broadcastMaxCells: Long = 200000L,
                         sampleFraction: Double = 0.01,
                         hotCellCap: Long = 2000000L): JoinPlan = {
+    plannerRuns.incrementAndGet()
     val nZoneCells = zoneCells.count()
     if (nZoneCells <= broadcastMaxCells) JoinPlan("broadcast", Map.empty)
     else {
@@ -130,14 +147,32 @@ object SpatialJoin {
                         sampleFraction: Double = 0.01,
                         hotCellCap: Long = 2000000L): DataFrame = {
     import points.sparkSession.implicits._
-    // localCheckpoint the exploded cover: the planner's count() and the join
-    // itself would otherwise both evaluate the JTS cover kernel per zone; the
-    // eager checkpoint ties the materialization to this job (GC'd with the
-    // RDD) instead of leaking a session-lifetime cache entry
-    val zoneCells = zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
-      .localCheckpoint(true)
     val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
-    val plan = planPointsInZones(pts, zoneCells, broadcastMaxCells, sampleFraction, hotCellCap)
+    // session identity via identityHashCode: the cache must not survive a
+    // session swap (a new session may read regenerated source files)
+    val cacheKey = (System.identityHashCode(points.sparkSession),
+                    zones.queryExecution.analyzed.semanticHash(), level,
+                    broadcastMaxCells, math.round(sampleFraction * 1e9), hotCellCap)
+    val cached = planCache.get(cacheKey)
+    val (plan, zoneCells) =
+      if (cached != null) {
+        // plan cache hit: no count, no histogram sample — and no eager
+        // checkpoint either, since the join is now the cover kernel's only
+        // consumer (it evaluates once, lazily, inside the join job)
+        (cached,
+         zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level)))))
+      } else {
+        // localCheckpoint the exploded cover: the planner's count() and the
+        // join itself would otherwise both evaluate the JTS cover kernel per
+        // zone; the eager checkpoint ties the materialization to this job
+        // (GC'd with the RDD) instead of leaking a session-lifetime cache
+        // entry
+        val zc = zones.withColumn("cell", explode(coverRingUdf(col("ring"), lit(level))))
+          .localCheckpoint(true)
+        val p = planPointsInZones(pts, zc, broadcastMaxCells, sampleFraction, hotCellCap)
+        planCache.put(cacheKey, p)
+        (p, zc)
+      }
     val joined = plan match {
       case JoinPlan("broadcast", _) =>
         pts.join(broadcast(zoneCells), "cell")

@@ -121,12 +121,19 @@ object GeodataIO {
    * (matches the reference's export path).
    */
   def exportPng(r: Raster, file: File, viewportW: Int = 800, viewportH: Int = 800,
-                band: Int = 0): Unit = {
+                band: Int = 0, ramp: Option[String] = None): Unit = {
     val values = r.bands(band)
     val s = graft.raster.TileEncoder.stats(values)
     val (w, h) = viewportSize(viewportW, viewportH, r.width, r.height)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
     val range = if (s.max > s.min) s.max - s.min else 1.0
+    // named ramp (ColorRamps table, the reference's Renderer palettes) or
+    // the default smooth jet
+    val table = ramp.flatMap(ColorRamps.byName)
+    def color(t: Double): Int = table match {
+      case Some(tb) => ColorRamps.argb(tb, t)
+      case None     => jet(t)
+    }
     var px = 0
     while (px < w) {
       val sx = (px.toDouble / w * r.width).toInt
@@ -135,7 +142,7 @@ object GeodataIO {
         // image rows top-down; grid rows south-up
         val sy = r.height - 1 - (py.toDouble / h * r.height).toInt
         val v = values(sx * r.height + sy)
-        img.setRGB(px, py, if (java.lang.Double.isNaN(v)) 0 else jet((v - s.min) / range))
+        img.setRGB(px, py, if (java.lang.Double.isNaN(v)) 0 else color((v - s.min) / range))
         py += 1
       }
       px += 1

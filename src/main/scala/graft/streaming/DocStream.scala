@@ -181,15 +181,24 @@ object DocStream {
     * exceeds `cap` distinct members is a stop-signature — it flips to
     * `degenerate`, drops its member list (state shrinks to one flag), and
     * emits NOTHING from then on, exactly as BucketedSelfJoin drops the
-    * whole oversized bucket. The one unavoidable divergence is temporal:
-    * pairs emitted while the bucket was still small cannot be recalled
-    * (batch, seeing the full bucket at once, never emits them) — a
-    * downstream exact-Jaccard refine makes those extra candidates harmless.
-    * `ttlMs` evicts idle buckets (same trade as [[dedupUpdate]]).
-    * Unit-tested with TestGroupState; at stream level the composition is
-    * readStream -> minhash band signatures -> groupByKey ((band, sig)) ->
+    * whole oversized bucket. A flip additionally RETRACTS the pairs
+    * buffered earlier in the SAME invocation (they were never emitted
+    * downstream yet), so a bucket that crosses the cap within one
+    * micro-batch contributes zero candidates — exactly batch semantics.
+    * The one unavoidable divergence is temporal ACROSS batches: pairs
+    * emitted while the bucket was still small in an EARLIER trigger cannot
+    * be recalled (batch, seeing the full bucket at once, never emits
+    * them) — a downstream exact-Jaccard refine makes those extra
+    * candidates harmless. Every flip bumps `dropCounter` (a named
+    * accumulator in the stream composition — the streaming twin of the
+    * batch observe() drop log; BucketedSelfJoin warns with counts, this
+    * surfaces them in the Spark UI and to tests). `ttlMs` evicts idle
+    * buckets (same trade as [[dedupUpdate]]). Unit-tested with
+    * TestGroupState; at stream level the composition is readStream ->
+    * minhash band signatures -> groupByKey ((band, sig)) ->
     * flatMapGroupsWithState(this). */
-  private[graft] def lshBucketUpdate(cap: Int, ttlMs: Long)(
+  private[graft] def lshBucketUpdate(cap: Int, ttlMs: Long,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)(
       key: (Int, String), rows: Iterator[Long],
       state: GroupState[BucketState]): Iterator[(Long, Long)] = {
     if (state.hasTimedOut) {
@@ -206,6 +215,10 @@ object DocStream {
             if (members.length >= cap) {
               degenerate = true
               members = Seq.empty
+              // retract this invocation's pairs: the bucket is oversized,
+              // and none of them left this function yet
+              out.clear()
+              dropCounter.foreach(_.add(1))
             } else {
               members.foreach { m =>
                 out += (if (m < id) (m, id) else (id, m))
@@ -231,7 +244,8 @@ object DocStream {
     * the pairs exactly like q37's batch path. */
   def lshCandidateStream(spark: SparkSession, docs: DataFrame, cap: Int = 100,
                          stateTtl: scala.concurrent.duration.Duration =
-                           scala.concurrent.duration.Duration.Zero): DataFrame = {
+                           scala.concurrent.duration.Duration.Zero,
+                         dropCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     val ttlMs = if (stateTtl.isFinite && stateTtl.toMillis > 0) stateTtl.toMillis else 0L
     val timeout = if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
@@ -249,7 +263,7 @@ object DocStream {
       .flatMapGroupsWithState[BucketState, (Long, Long)](OutputMode.Append(), timeout) {
         (key: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[BucketState]) =>
-          lshBucketUpdate(cap, ttlMs)(key, rows.map(_._1), state)
+          lshBucketUpdate(cap, ttlMs, dropCounter)(key, rows.map(_._1), state)
       }
       .toDF("doc_a", "doc_b")
   }

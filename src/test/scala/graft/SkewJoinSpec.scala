@@ -62,6 +62,26 @@ class SkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBroadcast.nonEmpty)
   }
 
+  test("plan cache: two auto-joins over the same zones run the planner once") {
+    import spark.implicits._
+    val before = SpatialJoin.plannerRuns.get()
+    val r1 = SpatialJoin.pointsInZonesAuto(skewedPoints, zones, level = 12,
+      broadcastMaxCells = 7, sampleFraction = 0.5, hotCellCap = 1000)
+      .select($"pid", $"zone_id").as[(Long, Long)].collect().sorted.toSeq
+    val afterFirst = SpatialJoin.plannerRuns.get()
+    assert(afterFirst == before + 1, "first call must run the planner")
+    val r2 = SpatialJoin.pointsInZonesAuto(skewedPoints, zones, level = 12,
+      broadcastMaxCells = 7, sampleFraction = 0.5, hotCellCap = 1000)
+      .select($"pid", $"zone_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(SpatialJoin.plannerRuns.get() == afterFirst,
+      "second call over the same zones must hit the plan cache (no count, no histogram job)")
+    assert(r2 === r1)
+    // a different level is a different plan — must miss
+    SpatialJoin.pointsInZonesAuto(skewedPoints, zones, level = 11,
+      broadcastMaxCells = 7, sampleFraction = 0.5, hotCellCap = 1000).limit(1).count()
+    assert(SpatialJoin.plannerRuns.get() == afterFirst + 1, "level change must re-plan")
+  }
+
   test("repartitionByCellPrefix yields range-contiguous partitions") {
     import spark.implicits._
     import graft.operators.CellPartitioning

@@ -153,15 +153,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       var degenerate = false
       val out = Seq.newBuilder[(Long, Long)]
       (0 until parts).foreach { b =>
+        // batch-local buffer: a cap flip RETRACTS pairs buffered in the
+        // same trigger (they never left the transition function)
+        val buf = Seq.newBuilder[(Long, Long)]
         rs.map(_._1).filter(_ % parts == b).distinct.sorted.foreach { id =>
           if (!degenerate && !members.contains(id)) {
-            if (members.length >= cap) { degenerate = true; members = Vector.empty }
-            else {
-              members.foreach(m => out += (if (m < id) (m, id) else (id, m)))
+            if (members.length >= cap) {
+              degenerate = true; members = Vector.empty; buf.clear()
+            } else {
+              members.foreach(m => buf += (if (m < id) (m, id) else (id, m)))
               members :+= id
             }
           }
         }
+        out ++= buf.result()
       }
       out.result()
     }.toSet
@@ -195,6 +200,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // triggers (a batch-2 arrival paired with a batch-0 remembered member)
     assert(streamed.exists { case (a, b) => a % parts != b % parts })
     assert(streamed === expected)
+  }
+
+  test("batch/stream LSH parity on a cap-crossing corpus, drop counts visible in both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cap = 5
+    val parts = 3
+    // planted corpus: a HOT text whose bucket crosses the cap inside its
+    // FIRST micro-batch (6 distinct members > cap=5 -> flip + same-trigger
+    // retraction -> zero emissions, exactly the batch drop), plus 8 normal
+    // groups of 3 duplicates spread one-per-batch (buckets of 3 <= cap ->
+    // all pairs in both paths)
+    def batchDocs(b: Int): Seq[(Long, String)] =
+      (0 until 6).map(i => (100L * b + i, "hotword")) ++
+      (0 until 8).map(g => (1000L * (g + 1) + b, s"w${g}alpha w${g}beta w${g}gamma"))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_lsh_parity")
+    (0 until parts).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_parity_tmp")
+      spark.createDataset(batchDocs(b)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = java.nio.file.Files.list(tmp)
+      val part = try ls.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+                 finally ls.close()
+      val dst = stageDir.resolve(f"batch-$b%03d.parquet")
+      java.nio.file.Files.move(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val schema = spark.read.parquet(stageDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(stageDir.toString)
+    val drops = spark.sparkContext.longAccumulator("graft_lsh_degenerate_buckets")
+    val q = DocStream.lshCandidateStream(spark, stream, cap, dropCounter = Some(drops))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lsh_parity").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_parity")
+      .as[(Long, Long)].collect().toSet
+
+    // batch path: identical signature arithmetic + BucketedSelfJoin cap
+    val allDocs = spark.read.parquet(stageDir.toString)
+    val sigs = allDocs
+      .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
+      .select($"doc_id".cast("long").as("doc_id") +: (0 until 4).map(i =>
+        array_min(transform($"mh", h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
+      .select($"doc_id", posexplode(array($"sig1", $"sig2", $"sig3", $"sig4")))
+      .select($"doc_id", $"pos".as("band"), $"col".as("sig"))
+    val batch = graft.operators.BucketedSelfJoin
+      .pairs(sigs, Seq("band", "sig"), "doc_id", cap, "parity_spec")
+      .as[(Long, Long)].collect().toSet
+
+    assert(streamed === batch, "stream candidates must equal batch candidates")
+    assert(batch.nonEmpty)
+    // drop accounting: the hot text's 4 band buckets flip exactly once each
+    // on the stream side; the batch side counts the same 4 oversized buckets
+    assert(drops.value === 4L, s"stream drop counter ${drops.value}")
+    val batchOversized = sigs.groupBy($"band", $"sig").count().filter($"count" > cap).count()
+    assert(batchOversized === 4L)
   }
 
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
