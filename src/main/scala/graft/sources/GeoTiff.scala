@@ -14,7 +14,8 @@ import graft.model.Raster
  * Writer: IEEE-float (32 or 64 bit) GeoTIFF, little-endian, single- or
  * multi-band (chunky PlanarConfiguration=1 or planar =2), stripped or tiled
  * (TileWidth/TileLength multiples of 16 per TIFF 6.0 §15), optional DEFLATE
- * (compression 8, java.util.zip), with ModelPixelScale + ModelTiepoint
+ * (compression 8, java.util.zip) or LZW (compression 5, [[lzwEncode]] —
+ * the flavor GDAL/libtiff read), with ModelPixelScale + ModelTiepoint
  * georeferencing, a GeoKeyDirectory carrying the EPSG code (geographic 2048 /
  * projected 3072 per CRS kind), the GDAL_NODATA ascii tag ("nan" — the
  * engine's nodata is NaN), and optional OVERVIEW IFDs (the COG shape:
@@ -105,10 +106,10 @@ object GeoTiff {
                 tile: Option[(Int, Int)] = None, planar: Int = 1,
                 overviews: Seq[Int] = Nil, predictor: Int = 1,
                 palette: Option[Seq[(Int, Int, Int)]] = None,
-                bigTiff: Boolean = false): Unit =
+                bigTiff: Boolean = false, lzw: Boolean = false): Unit =
     Files.write(Paths.get(file.getPath),
                 encode(r, bits, deflate, tile, planar, overviews, predictor, palette,
-                       bigTiff))
+                       bigTiff, lzw))
 
   /** Nearest top-left decimation by `f` (the GDAL NEAREST overview rule). */
   private def decimate(r: Raster, f: Int): Raster = {
@@ -130,7 +131,8 @@ object GeoTiff {
              tile: Option[(Int, Int)] = None, planar: Int = 1,
              overviews: Seq[Int] = Nil, predictor: Int = 1,
              palette: Option[Seq[(Int, Int, Int)]] = None,
-             bigTiff: Boolean = false): Array[Byte] = {
+             bigTiff: Boolean = false, lzw: Boolean = false): Array[Byte] = {
+    require(!(deflate && lzw), "pick ONE compression: deflate or lzw")
     // palette mode (PhotometricInterpretation 3 + ColorMap, the categorical
     // landcover product shape): a single band of unsigned 8/16-bit palette
     // INDICES — the codes categorical pipelines consume (DataKey P4); the
@@ -228,7 +230,7 @@ object GeoTiff {
       val rowBytes = (tile.map(_._1).getOrElse(w)) * sppC * bps
       raw.map { c0 =>
         val c = if (predictor == 3) fpPredictEncode(c0, rowBytes, bps) else c0
-        if (deflate) deflateBytes(c) else c
+        if (deflate) deflateBytes(c) else if (lzw) lzwEncode(c) else c
       }
     }
 
@@ -276,7 +278,8 @@ object GeoTiff {
           (TImageWidth, FtLong, 1, longsB(Seq(w.toLong))),
           (TImageLength, FtLong, 1, longsB(Seq(h.toLong))),
           (TBitsPerSample, FtShort, spp, shorts(Seq.fill(spp)(bits.toLong))),
-          (TCompression, FtShort, 1, shorts(Seq(if (deflate) 8L else 1L))),
+          (TCompression, FtShort, 1,
+           shorts(Seq(if (deflate) 8L else if (lzw) 5L else 1L))),
           (TPhotometric, FtShort, 1, shorts(Seq(if (palette.isDefined) 3L else 1L))),
           (TSamplesPerPixel, FtShort, 1, shorts(Seq(spp.toLong))),
           (TPlanarConfig, FtShort, 1, shorts(Seq(planar.toLong))),
@@ -487,9 +490,7 @@ object GeoTiff {
    * codes, ClearCode 256 / EOI 257, first dictionary entry 258, EARLY
    * CHANGE code widening (the width grows one code early — at table size
    * 2^w - 1 — per the spec's LZW flavor, which GDAL/libtiff write).
-   * Read-side only: our writer emits DEFLATE, but real-world GeoTIFFs are
-   * very often LZW and silently failing on them is not acceptable for an
-   * ingest engine.
+   * The writer twin is [[lzwEncode]] (`lzw = true` on the encode path).
    */
   private[graft] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
     val Clear = 256; val Eoi = 257
@@ -566,6 +567,58 @@ object GeoTiff {
     }
     require(outPos == expected, s"short LZW decode: $outPos of $expected bytes")
     out
+  }
+
+  /**
+   * TIFF LZW encode (compression 5, TIFF 6.0 §13) — the writer twin of
+   * [[lzwDecode]]: MSB-first variable-width codes, ClearCode 256 / EOI 257,
+   * and the encoder-side EARLY-CHANGE cadence (the encoder's table runs one
+   * entry ahead of the decoder's, so widening at table size 2^w lands on
+   * the same code position as the decoder's widen at 2^w - 1). When the
+   * table approaches the 4096-entry ceiling a ClearCode resets both sides —
+   * without it, codes past 12 bits would silently truncate on
+   * low-redundancy data (the test-side encoder in GeoTiffSpec never
+   * clears; this one is the production path). Dictionary keys are packed
+   * (prefixCode << 8 | byte) longs in a primitive LongMap — no boxing in
+   * the per-byte loop.
+   */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bits = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var acc = 0L; var nAcc = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nAcc += width
+      while (nAcc >= 8) { bits.write(((acc >> (nAcc - 8)) & 0xff).toInt); nAcc -= 8 }
+    }
+    val dict = new scala.collection.mutable.LongMap[Int](8192)
+    var next = 258
+    put(256) // initial Clear per spec
+    var cur = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur.toLong << 8) | b
+        val hit = dict.getOrElse(key, -1)
+        if (hit >= 0) cur = hit
+        else {
+          put(cur)
+          dict.put(key, next); next += 1
+          if (width < 12 && next >= (1 << width)) width += 1
+          if (next >= 4094) { // table (nearly) full: reset both sides
+            put(256)
+            dict.clear(); next = 258; width = 9
+          }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) put(cur)
+    put(257) // EOI
+    if (nAcc > 0) bits.write(((acc << (8 - nAcc)) & 0xff).toInt)
+    bits.toByteArray
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {

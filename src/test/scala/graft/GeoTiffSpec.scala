@@ -269,6 +269,20 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(img.getSampleFloat(x, row, b) == want, s"b=$b ($x,$row)")
     }
     reader.dispose()
+    // and the LZW writer against the same INDEPENDENT decoder (the JDK
+    // TIFF plugin implements spec LZW — any cadence/clear defect in
+    // lzwEncode that our own lzwDecode happened to mirror would surface)
+    val fl = tmp(".tif")
+    GeoTiff.writeFull(noNaN, fl, bits = 32, tile = Some((16, 16)), lzw = true)
+    val readers2 = javax.imageio.ImageIO.getImageReadersByFormatName("TIFF")
+    val reader2 = readers2.next()
+    reader2.setInput(javax.imageio.ImageIO.createImageInputStream(fl))
+    val img2 = reader2.read(0).getRaster
+    for (b <- 0 until 3; row <- 0 until r.height; x <- 0 until r.width) {
+      val want = noNaN.bands(b)(x * r.height + (r.height - 1 - row)).toFloat
+      assert(img2.getSampleFloat(x, row, b) == want, s"lzw b=$b ($x,$row)")
+    }
+    reader2.dispose()
   }
 
   test("overview IFDs: chain structure, decimation values, selection policy") {
@@ -701,6 +715,50 @@ class GeoTiffSpec extends AnyFunSuite {
     java.util.Arrays.fill(bytes, 40, 200, 0.toByte)
     val ex = intercept[Exception](GeoTiff.parse(bytes, "trunc"))
     assert(ex.getMessage != null)
+  }
+
+  test("LZW writer: round-trips through our reader across shapes; clears on full table") {
+    val r = mkMulti(37, 23)
+    for (tile <- Seq(None, Some((16, 16))); planar <- Seq(1, 2); bits <- Seq(32, 64)) {
+      val bytes = GeoTiff.encode(r, bits = bits, tile = tile, planar = planar, lzw = true)
+      val back = GeoTiff.parse(bytes, "lzw", 7L)
+      val label = s"tile=$tile planar=$planar bits=$bits"
+      assert(back.bands.length == 3, label)
+      for (b <- 0 until 3)
+        sameValues(
+          if (bits == 32) r.bands(b).map(v => if (v.isNaN) v else v.toFloat.toDouble)
+          else r.bands(b),
+          back.bands(b))
+    }
+    // predictor 3 + LZW (the GDAL float-COG combination)
+    val noNaN = Raster(r.item_id, r.ts, r.width, r.height, r.minX, r.maxX,
+      r.minY, r.maxY, r.epsg, r.bands.map(_.map(v => if (v.isNaN) -1.0 else v)))
+    val pBytes = GeoTiff.encode(noNaN, bits = 32, tile = Some((16, 16)),
+                                predictor = 3, lzw = true)
+    val pBack = GeoTiff.parse(pBytes, "lzwp", 7L)
+    for (b <- 0 until 3)
+      sameValues(noNaN.bands(b).map(_.toFloat.toDouble), pBack.bands(b))
+    // BigTIFF + LZW compose
+    val bigBytes = GeoTiff.encode(r, bits = 64, tile = Some((16, 16)),
+                                  bigTiff = true, lzw = true)
+    val bigBack = GeoTiff.parse(bigBytes, "biglzw", 7L)
+    for (b <- 0 until 3) sameValues(r.bands(b), bigBack.bands(b))
+    // raw low-redundancy payloads large enough to FILL the 4096-entry table
+    // repeatedly: the encoder must emit ClearCode resets the decoder follows
+    // (the width cadence crosses 9->10->11->12 and resets multiple times)
+    val rnd = new java.util.Random(99L)
+    for (n <- Seq(300, 20000, 120000)) {
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      val decoded = GeoTiff.lzwDecode(GeoTiff.lzwEncode(payload), n)
+      assert(java.util.Arrays.equals(decoded, payload), s"n=$n")
+    }
+    // KwKwK runs exercise the copy-overlap path through the writer too
+    val runs = Array.fill(50000)('a'.toByte)
+    assert(java.util.Arrays.equals(GeoTiff.lzwDecode(GeoTiff.lzwEncode(runs), runs.length), runs))
+    // compression actually compresses repetitive rasters
+    val flat = Raster("f", 0L, 64, 64, 0, 64, 0, 64, 4326, Seq(Array.fill(64 * 64)(7.5)))
+    assert(GeoTiff.encode(flat, lzw = true).length < GeoTiff.encode(flat).length / 2)
   }
 
   test("BigTIFF single-strip round-trip is bit-exact (inline LONG8 offsets)") {
