@@ -1,13 +1,17 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Training-data pipeline text operators over the `documents` table:
  * exact dedup, token statistics / quality scoring, language profiling,
- * MinHash + LSH banding, SimHash, n-gram Jaccard verification, and document
- * fingerprints.
+ * MinHash + LSH banding, SimHash, n-gram Jaccard verification, document
+ * fingerprints, decontamination, mixture balancing, PII redaction (q105 —
+ * typed placeholder scrub with per-doc audit counts), and paragraph-level
+ * dedup (q106 — CCNet-style: global first-occurrence ownership of 10-token
+ * paragraphs, per-doc reconstruction hashes).
  *
  * All hashing goes through md5 (identical hex output in Spark and DuckDB).
  * MinHash computes ONE md5 per distinct token and derives the k=4 signature
@@ -302,6 +306,127 @@ object TextQueries {
         .orderBy($"source")
     },
 
+    // PII redaction (the scrub step every training-data pipeline runs
+    // before tokenization): emails, phone numbers and IPs replaced by
+    // typed placeholders, with per-document match counts emitted alongside
+    // the redacted-text hash so the scrub is auditable (how much PII, and
+    // exactly what the corpus looks like after). The synthetic corpus
+    // carries no PII, so each document is AUGMENTED with deterministic
+    // doc_id-derived PII first — the scrub then has known ground truth at
+    // every row. Patterns are dialect-portable (plain classes + counted
+    // repeats behave identically in Java regex and RE2, so the DuckDB
+    // replay is exact). One projection, no joins — scales linearly.
+    "q105_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phoneRe = "555-[0-9]{4}"
+      val ipRe = "10[.][0-9]{1,3}[.]0[.][0-9]{1,3}"
+      val withPii = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text2", concat(
+          $"text", lit(" contact user"), $"doc_id",
+          lit("@mail"), $"doc_id" % 7, lit(".com or 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), $"doc_id" % 256, lit(".0."), $"doc_id" % 100))
+      withPii
+        .withColumn("n_emails", regexp_count($"text2", lit(emailRe)))
+        .withColumn("n_phones", regexp_count($"text2", lit(phoneRe)))
+        .withColumn("n_ips", regexp_count($"text2", lit(ipRe)))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace($"text2",
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+        .select($"doc_id",
+                $"n_emails".cast("bigint").as("n_emails"),
+                $"n_phones".cast("bigint").as("n_phones"),
+                $"n_ips".cast("bigint").as("n_ips"),
+                md5($"redacted").as("redacted_hash"),
+                (length($"text2") - length($"redacted")).cast("bigint").as("shrink"))
+        .orderBy($"doc_id")
+    },
+
+    // Paragraph-level dedup (the CCNet-style granularity: near-identical
+    // boilerplate repeats ACROSS documents even when whole docs differ):
+    // documents split into consecutive 10-token paragraphs, paragraphs
+    // deduped GLOBALLY by content hash (first occurrence by (doc_id, idx)
+    // owns it), each document reconstructed from only the paragraphs it
+    // owns. Emits per doc: paragraph counts, owned/dup split and the md5
+    // of the deduped reconstruction. Shape: one explode + two hash
+    // aggregations keyed by paragraph hash then doc — no self-join, no
+    // per-doc state, linear at corpus scale.
+    "q106_paragraph_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val paras = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("np", ceil(size($"toks") / 10.0).cast("int"))
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), $"np" - 1),
+                    i => array_join(slice($"toks", i * 10 + 1, lit(10)), " "))))
+        .select($"doc_id", $"pos".as("idx"), $"col".as("para"))
+        .withColumn("phash", md5($"para"))
+      // global first-occurrence owner per paragraph hash (doc_id*1024+idx
+      // is a total order because idx < 1024 for any corpus document)
+      val owners = paras
+        .groupBy($"phash")
+        .agg(min($"doc_id" * 1024 + $"idx").as("owner_key"))
+      paras.join(owners, "phash")
+        .withColumn("owned", $"doc_id" * 1024 + $"idx" === $"owner_key")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+             sum(when($"owned", 1L).otherwise(0L)).as("n_owned"),
+             sum(when($"owned", 0L).otherwise(1L)).as("n_dup"),
+             md5(array_join(transform(
+               array_sort(collect_list(when($"owned",
+                 struct($"idx", $"para")))),
+               x => x("para")), " ")).as("dedup_hash"))
+        .orderBy($"doc_id")
+    },
+
+    // The full corpus-prep funnel COMPOSED (what a user actually runs):
+    // quality gate (min length + distinct-token ratio, integer
+    // cross-multiplied so no float compare) -> exact dedup (first doc_id
+    // owns the text hash) -> mixture balancing (the q48 pure-integer keep
+    // rule, rates computed over the dedup survivors) -> per-source funnel
+    // counts. Every stage is an operator proven elsewhere; this entry pins
+    // their COMPOSITION — stage boundaries, recomputed stats, the
+    // left-join funnel — to the oracle. Shape: three hash aggregations and
+    // one broadcast of a k-row rate table; no stage widens beyond
+    // (source) or (text hash), so the funnel is linear at corpus scale.
+    "q107_corpus_prep" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("toks", split($"text", " "))
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
+      val quality = docs.filter($"n_tokens" >= 20 && $"n_distinct" * 10L >= $"n_tokens" * 3L)
+      val deduped = quality
+        .withColumn("thash", md5($"text"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"thash").orderBy($"doc_id")))
+        .filter($"rn" === 1)
+      val stats = deduped.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val tot = deduped.agg(count(lit(1)).as("n"), countDistinct($"source").as("k"))
+      val hv = (($"doc_id" % 1048576L) * 2654435761L
+                  + ascii(substring($"source", 1, 1)) * 40503L) % 65536L
+      val fin = deduped.join(broadcast(stats.crossJoin(tot)), "source")
+        .withColumn("hv", hv)
+        .filter($"hv" * $"n_s" * $"k" < $"n" * 65536L)
+      val a = docs.groupBy($"source").agg(count(lit(1)).as("n_in"))
+      val b = quality.groupBy($"source").agg(count(lit(1)).as("n_quality"))
+      val c = deduped.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
+      val d = fin.groupBy($"source").agg(
+        count(lit(1)).as("n_final"), sum($"n_tokens").as("sum_tokens"),
+        min($"doc_id").as("min_doc"))
+      a.join(b, Seq("source"), "left")
+        .join(c, Seq("source"), "left")
+        .join(d, Seq("source"), "left")
+        .select($"source", $"n_in",
+                coalesce($"n_quality", lit(0L)).as("n_quality"),
+                coalesce($"n_dedup", lit(0L)).as("n_dedup"),
+                coalesce($"n_final", lit(0L)).as("n_final"),
+                coalesce($"sum_tokens", lit(0L)).as("sum_tokens"),
+                $"min_doc")
+        .orderBy($"source")
+    },
+
     // Repetition quality signals (the Gopher-style repetition filters):
     // duplicate-token fraction and the mass of the single most frequent
     // word 2-gram per document. Both are one explode + two-level hash
@@ -576,6 +701,92 @@ object TextQueries {
         |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q107: the funnel replay, stage for stage
+    "q107_corpus_prep" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        |dd AS (
+        |  SELECT doc_id, source, text,
+        |         len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+        |  FROM d),
+        |q AS (SELECT * FROM dd WHERE n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |stats AS (SELECT source, COUNT(*) AS n_s FROM dedup GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS k FROM dedup),
+        |fin AS (
+        |  SELECT dd2.* FROM dedup dd2 JOIN stats s ON dd2.source = s.source, tot
+        |  WHERE ((dd2.doc_id % 1048576) * 2654435761
+        |         + ascii(substr(dd2.source, 1, 1)) * 40503) % 65536
+        |        * s.n_s * tot.k < tot.n * 65536),
+        |a AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY 1),
+        |b AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS n_dedup FROM dedup GROUP BY 1),
+        |f AS (SELECT source, COUNT(*) AS n_final,
+        |             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |             MIN(doc_id) AS min_doc
+        |      FROM fin GROUP BY 1)
+        |SELECT a.source, a.n_in,
+        |       COALESCE(b.n_quality, 0) AS n_quality,
+        |       COALESCE(c.n_dedup, 0) AS n_dedup,
+        |       COALESCE(f.n_final, 0) AS n_final,
+        |       COALESCE(f.sum_tokens, 0) AS sum_tokens, f.min_doc
+        |FROM a LEFT JOIN b ON a.source = b.source
+        |LEFT JOIN c ON a.source = c.source
+        |LEFT JOIN f ON a.source = f.source
+        |ORDER BY a.source""".stripMargin,
+
+    // q105: identical augmentation + scrub; patterns chosen to behave
+    // identically under Java regex (Spark) and RE2 (DuckDB)
+    "q105_pii_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+        |         '.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |         ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS text2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text2,
+        |         regexp_replace(regexp_replace(regexp_replace(text2,
+        |           '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+        |           '555-[0-9]{4}', '<PHONE>', 'g'),
+        |           '10[.][0-9]{1,3}[.]0[.][0-9]{1,3}', '<IP>', 'g') AS redacted
+        |  FROM w)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text2, '10[.][0-9]{1,3}[.]0[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |       md5(redacted) AS redacted_hash,
+        |       CAST(length(text2) - length(redacted) AS BIGINT) AS shrink
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q106: the paragraph-granularity replay; COALESCE('') because a doc
+    // owning zero paragraphs must hash the empty reconstruction, exactly
+    // like Spark's array_join over an empty collect
+    "q106_paragraph_dedup" ->
+      """WITH p0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         unnest(generate_series(0,
+        |           CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) - 1)) AS idx
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, idx,
+        |         array_to_string(list_slice(toks, idx * 10 + 1, idx * 10 + 10), ' ') AS para
+        |  FROM p0),
+        |hh AS (SELECT doc_id, idx, para, md5(para) AS phash FROM h),
+        |o AS (SELECT phash, MIN(doc_id * 1024 + idx) AS owner_key FROM hh GROUP BY 1),
+        |j AS (
+        |  SELECT hh.doc_id, hh.idx, hh.para,
+        |         (hh.doc_id * 1024 + hh.idx = o.owner_key) AS owned
+        |  FROM hh JOIN o ON hh.phash = o.phash)
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |       CAST(SUM(CASE WHEN owned THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+        |       CAST(SUM(CASE WHEN owned THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+        |       md5(COALESCE(string_agg(CASE WHEN owned THEN para END, ' ' ORDER BY idx), '')) AS dedup_hash
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q52_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
