@@ -63,6 +63,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
   }
 
+  test("q103: trained broadcast codebook keeps O(1) plan size in K") {
+    val plan = executed("q103_ann_ivf_trained_broadcast")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0, "probe join missing from the plan")
+    val below = plan.substring(joinIdx)
+    assert(count(below, "Window") == 0, "argmax must not be a Window")
+    assert(count(below, "ShuffleExchange") == 0, "assignment must not shuffle")
+    // the K=1024 TRAINED codebook must ride the broadcast, not the plan:
+    // 65k longs as literals would blow the plan string up by orders of
+    // magnitude (same bound as q97's untrained path)
+    assert(plan.length < 20000, s"plan unexpectedly large (${plan.length} chars)")
+  }
+
   test("q102: multi-assignment re-rank stays shuffle-free below the probe join") {
     val plan = executed("q102_ann_ivf_rerank")
     val joinIdx = plan.indexOf("Join")
