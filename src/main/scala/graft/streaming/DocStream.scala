@@ -135,6 +135,37 @@ object DocStream {
       .agg(count(lit(1)).as("n_spans"))
   }
 
+  /**
+   * Watermarked STREAM-STREAM interval join (the remaining Structured
+   * Streaming join shape the engine's streams need): documents joined to
+   * telemetry events by shard within a bounded event-time interval —
+   * "attach the events that happened around each document's ingest". Both
+   * sides carry watermarks, so Spark bounds the join state: a buffered row
+   * is dropped once the other side's watermark passes its interval, which
+   * is what makes the state finite on an endless stream (an unwatermarked
+   * stream-stream join accumulates forever). The interval condition rides
+   * IN the join predicate (event_time between doc time - lower and doc
+   * time + upper), so the state pruning is automatic.
+   * StreamingSpec proves row parity with the identical batch join.
+   */
+  def docEventJoin(docs: DataFrame, events: DataFrame,
+                   lowerMinutes: Int = 120, upperMinutes: Int = 120,
+                   watermark: String = "30 days"): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), (col("doc_id") % 50).as("d_shard"), col("event_time"))
+      .withWatermark("event_time", watermark)
+    val e = events
+      .select(col("event_id"), col("user_id"),
+              (col("user_id") % 50).as("e_shard"),
+              col("ts").cast("timestamp").as("ev_time"), col("value"))
+      .withWatermark("ev_time", watermark)
+    d.join(e, expr(
+      s"""d_shard = e_shard AND
+         |ev_time >= event_time - INTERVAL $lowerMinutes MINUTES AND
+         |ev_time <= event_time + INTERVAL $upperMinutes MINUTES""".stripMargin))
+      .select(col("doc_id"), col("event_id"), col("user_id"), col("value"))
+  }
+
   /** Fully-qualified RocksDB state-store provider (shipped with Spark).
     * HDFSBackedStateStoreProvider (the default) holds every version of every
     * key IN EXECUTOR HEAP — at 100-TB corpus scale the dedup hash state is

@@ -761,6 +761,50 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.encode(flat, lzw = true).length < GeoTiff.encode(flat).length / 2)
   }
 
+  test("fuzz: corrupt/random bytes fail fast (no hang, no OOM) on every entry point") {
+    // binaryFile content is untrusted at ingest; every decode entry must
+    // throw a diagnosable exception promptly rather than spin or allocate
+    // unboundedly. Three corpora: pure random, valid header + random tail,
+    // and bit-flipped valid files.
+    val rnd = new java.util.Random(20260817L)
+    def assertThrowsFast(bytes: Array[Byte], label: String): Unit = {
+      val t0 = System.nanoTime()
+      intercept[Exception](GeoTiff.parse(bytes, label))
+      intercept[Exception](GeoTiff.probe(bytes, label))
+      // ifdChain/colorMap may legitimately succeed on a structurally-valid
+      // header; just require they terminate
+      try GeoTiff.ifdChain(bytes, label) catch { case _: Exception => () }
+      try GeoTiff.colorMap(bytes, label) catch { case _: Exception => () }
+      assert((System.nanoTime() - t0) < 2e9, s"$label took too long")
+    }
+    for (n <- Seq(0, 4, 9, 64, 4096); i <- 0 until 10) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      assertThrowsFast(b, s"rand-$n-$i")
+    }
+    // classic + BigTIFF magic headers with garbage bodies
+    for (magic <- Seq(42, 43); i <- 0 until 10) {
+      val b = new Array[Byte](256); rnd.nextBytes(b)
+      b(0) = 'I'; b(1) = 'I'; b(2) = magic.toByte; b(3) = 0
+      if (magic == 43) { b(4) = 8; b(5) = 0; b(6) = 0; b(7) = 0 }
+      assertThrowsFast(b, s"hdr-$magic-$i")
+    }
+    // bit-flip a VALID file at 50 random positions each round; decode must
+    // either succeed (flip hit pixel data) or throw — never hang
+    val valid = GeoTiff.encode(mkRaster(4326), deflate = true)
+    val validBig = GeoTiff.encode(mkMulti(32, 16), tile = Some((16, 16)),
+                                  lzw = true, bigTiff = true)
+    for (src <- Seq(valid, validBig); i <- 0 until 20) {
+      val b = src.clone()
+      (0 until 50).foreach { _ =>
+        val p = rnd.nextInt(b.length)
+        b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val t0 = System.nanoTime()
+      try { GeoTiff.parse(b, s"flip-$i"); () } catch { case _: Throwable => () }
+      assert((System.nanoTime() - t0) < 2e9, s"flip-$i took too long")
+    }
+  }
+
   test("BigTIFF single-strip round-trip is bit-exact (inline LONG8 offsets)") {
     val r = mkRaster(4326)
     // single strip => the one-element LONG8 offset/bytecount arrays fit the

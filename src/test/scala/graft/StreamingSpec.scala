@@ -262,6 +262,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchOversized === 4L)
   }
 
+  test("stream-stream interval join matches the identical batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = DocStream.docEventJoin(
+        DocStream.readDocs(spark, dir), DocStream.readEvents(spark, dir))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_join").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.sql("SELECT doc_id, event_id FROM ss_join")
+      .as[(Long, Long)].collect().toSet
+
+    // the batch twin: same projections, same interval predicate
+    val bd = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("event_time",
+        timestamp_millis(lit(1704067200000L) + col("doc_id") * 60000L))
+      .select($"doc_id", ($"doc_id" % 50).as("d_shard"), $"event_time")
+    val be = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", ($"user_id" % 50).as("e_shard"),
+              $"ts".cast("timestamp").as("ev_time"))
+    val batch = bd.join(be, expr(
+        """d_shard = e_shard AND
+          |ev_time >= event_time - INTERVAL 120 MINUTES AND
+          |ev_time <= event_time + INTERVAL 120 MINUTES""".stripMargin))
+      .select($"doc_id", $"event_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed.nonEmpty, "planted time ranges must overlap")
+    assert(streamed === batch)
+  }
+
   test("stateful streaming dedup: first doc owns the hash, dups flagged") {
     import spark.implicits._
     val q = DocStream.dedupStream(spark, DocStream.readDocs(spark, dir))
