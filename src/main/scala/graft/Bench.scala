@@ -285,13 +285,35 @@ object Bench {
     def j2(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1"
       else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val compactWalls = (results :+ ("flagship" -> flagshipSec))
-      .map { case (k, v) => jstr(shortKey(k)) + ":" + j2(v) }.mkString("{", ",", "}")
-    println(
+    def compactLine(walls: Seq[(String, Double)], omitted: Int): String = {
+      val w = walls.map { case (k, v) => jstr(shortKey(k)) + ":" + j2(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${j2(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${errors.size},"sf":"$sfDir","cpus":$cpus,""" +
       s""""flagship_docs_per_sec":${j2(docsPerSec)},"flagship_sec":${j2(flagshipSec)},""" +
-      s""""full_record":${jstr(fullPath)},"queries":$compactWalls}""")
+      s""""full_record":${jstr(fullPath)},""" +
+      (if (omitted > 0) s""""queries_omitted":$omitted,""" else "") +
+      s""""queries":$w}"""
+    }
+    // the guarantee is ENFORCED, not asserted: if the full per-query dict
+    // would push the line past the capture window (2000 chars), keep only
+    // the slowest walls that fit and say how many were omitted — the full
+    // dict always lives in full_record. Without this, ~20 more queries
+    // would silently reproduce the round-4 parsed:null failure.
+    val allWalls = results :+ ("flagship" -> flagshipSec)
+    val full = compactLine(allWalls, 0)
+    println(
+      if (full.length <= 1900) full
+      else {
+        val bySlow = allWalls.sortBy(-_._2)
+        var keep = bySlow.length
+        var line = full
+        while (line.length > 1900 && keep > 10) {
+          keep = math.min(keep - 10, (keep * 1900) / line.length)
+          line = compactLine(bySlow.take(keep), allWalls.length - keep)
+        }
+        line
+      })
     sampler.shutdown()
     spark.stop()
   }

@@ -265,7 +265,7 @@ object AnnQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("vn", sqrt(dot($"v", $"v")))
       val assigned = assignProbes(emb, centArrayLit(LadderCents), nprobe = 4, dot, "v")
-      ivfSearch(assigned, nprobe = 4)
+      ivfSearch(assigned)
     },
 
     // IVF with a TRAINED codebook: one Lloyd iteration over integer-quantized
@@ -279,7 +279,7 @@ object AnnQueries {
       val trained = trainCodebook(emb)
       val assigned = assignProbes(emb, centArrayLitL(trained), nprobe = 2, idot, "q")
         .drop("q")
-      ivfSearch(assigned, nprobe = 2)
+      ivfSearch(assigned)
     },
 
     // IVF with a BROADCAST codebook at K=4096 (the 100-TB K ~ sqrt(N)
@@ -296,7 +296,7 @@ object AnnQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("vn", sqrt(dot($"v", $"v")))
       val assigned = assignProbesBroadcast(emb, BigCents, nprobe = 64, "v")
-      ivfSearch(assigned, nprobe = 64)
+      ivfSearch(assigned)
     },
 
     // TRAINED broadcast-codebook IVF at K=1024 (q44's training x q97's
@@ -318,7 +318,7 @@ object AnnQueries {
           emb.withColumn("qd", $"q".cast("array<double>")),
           trained.map(_.map(_.toDouble)), nprobe = 16, "qd")
         .drop("q", "qd")
-      ivfSearch(assigned, nprobe = 16)
+      ivfSearch(assigned)
     },
 
     // IVF with MULTI-ASSIGNMENT + exact re-rank (the recall-recovery stage):
@@ -333,7 +333,7 @@ object AnnQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("vn", sqrt(dot($"v", $"v")))
       val assigned = assignProbes(emb, centArrayLit(LadderCents), nprobe = 4, dot, "v")
-      ivfSearchRerank(assigned, nprobe = 4, homeR = 2)
+      ivfSearch(assigned, homeR = 2)
     },
 
     "q41_lsh_buckets" -> { (s, dir) =>
@@ -404,39 +404,25 @@ object AnnQueries {
       sums.getOrElse((c, d), init(c)(d))))
   }
 
-  /** Shared IVF probe search: homes (rk=1) joined to broadcast query probes
-    * on the cluster id, cosine top-3 per query. */
-  private def ivfSearch(assigned: DataFrame, nprobe: Int): DataFrame = {
-    import assigned.sparkSession.implicits._
-    val homes = assigned.filter($"rk" === 1)
-      .select($"vec_id", $"v", $"vn", $"c")
-    val qprobes = assigned.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"vn".as("qn"), $"c")
-    val cand = homes.join(broadcast(qprobes), "c")
-      .filter($"vec_id" =!= $"qid")
-      .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
-    val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-    cand.withColumn("rnk", row_number().over(wTop).cast("bigint"))
-      .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"vec_id")
-      .orderBy($"qid", $"rnk")
-  }
-
   /**
-   * Multi-assignment IVF search with an exact re-rank (the recall-recovery
-   * stage q43/q44 lack): every DATABASE vector is indexed under its top
-   * `homeR` centroids — the standard IVF replication trade (index memory,
-   * not query cost, buys recall) — so a query probing the same nprobe
-   * clusters sees a strictly larger candidate union. The union carries
-   * duplicates (a vector can reach one query through several shared
-   * clusters); re-ranking dedups them INSIDE the existing per-query window
-   * pass: cosine does not depend on WHICH cluster matched, so exact
-   * duplicate rows tie bitwise on the (cos DESC, vec_id) order key and
-   * DENSE_RANK collapses them to one rank — rank <= k then equals the
-   * row_number of the deduped candidate set, with zero additional
-   * shuffle below or beside the window (the final distinct runs on <= k
-   * rows per query). */
-  private def ivfSearchRerank(assigned: DataFrame, nprobe: Int, homeR: Int): DataFrame = {
+   * Shared IVF probe search: homes joined to broadcast query probes on the
+   * cluster id, cosine top-3 per query. `homeR` = how many centroids each
+   * DATABASE vector is indexed under (the probe count is whatever
+   * `assigned` carries — its rk range).
+   *
+   * homeR = 1 is plain IVF (row_number top-3). homeR > 1 is
+   * MULTI-ASSIGNMENT with an exact re-rank (the recall-recovery stage):
+   * index replication — memory, not query cost — buys recall, and the
+   * candidate union's duplicates (a vector can reach one query through
+   * several shared clusters) are collapsed INSIDE the same per-query
+   * window pass: cosine does not depend on WHICH cluster matched, so
+   * exact duplicate rows tie bitwise on the (cos DESC, vec_id) order key
+   * and DENSE_RANK collapses them to one rank — rank <= k then equals the
+   * row_number of the deduped candidate set, with zero additional shuffle
+   * below or beside the window (the final distinct runs on <= k rows per
+   * query; skipped entirely at homeR = 1 where no duplicates exist).
+   */
+  private def ivfSearch(assigned: DataFrame, homeR: Int = 1): DataFrame = {
     import assigned.sparkSession.implicits._
     val homes = assigned.filter($"rk" <= homeR)
       .select($"vec_id", $"v", $"vn", $"c")
@@ -446,11 +432,17 @@ object AnnQueries {
       .filter($"vec_id" =!= $"qid")
       .withColumn("cos", dot($"qv", $"v") / ($"qn" * $"vn"))
     val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-    cand.withColumn("rnk", dense_rank().over(wTop).cast("bigint"))
-      .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"vec_id")
-      .distinct()
-      .orderBy($"qid", $"rnk")
+    if (homeR == 1)
+      cand.withColumn("rnk", row_number().over(wTop).cast("bigint"))
+        .filter($"rnk" <= 3)
+        .select($"qid", $"rnk", $"vec_id")
+        .orderBy($"qid", $"rnk")
+    else
+      cand.withColumn("rnk", dense_rank().over(wTop).cast("bigint"))
+        .filter($"rnk" <= 3)
+        .select($"qid", $"rnk", $"vec_id")
+        .distinct()
+        .orderBy($"qid", $"rnk")
   }
 
   /** q44 oracle scaffolding: per-dim exploded quantized vectors + the

@@ -362,13 +362,15 @@ object TextQueries {
                     i => array_join(slice($"toks", i * 10 + 1, lit(10)), " "))))
         .select($"doc_id", $"pos".as("idx"), $"col".as("para"))
         .withColumn("phash", md5($"para"))
-      // global first-occurrence owner per paragraph hash (doc_id*1024+idx
-      // is a total order because idx < 1024 for any corpus document)
+      // global first-occurrence owner per paragraph hash: LEXICOGRAPHIC min
+      // of (doc_id, idx) as a struct — injective for ANY document length
+      // (an arithmetic packing like doc_id*K+idx silently collides once
+      // idx >= K and both colliding rows would claim ownership)
       val owners = paras
         .groupBy($"phash")
-        .agg(min($"doc_id" * 1024 + $"idx").as("owner_key"))
+        .agg(min(struct($"doc_id", $"idx")).as("owner"))
       paras.join(owners, "phash")
-        .withColumn("owned", $"doc_id" * 1024 + $"idx" === $"owner_key")
+        .withColumn("owned", struct($"doc_id", $"idx") === $"owner")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_paras"),
              sum(when($"owned", 1L).otherwise(0L)).as("n_owned"),
@@ -777,10 +779,10 @@ object TextQueries {
         |         array_to_string(list_slice(toks, idx * 10 + 1, idx * 10 + 10), ' ') AS para
         |  FROM p0),
         |hh AS (SELECT doc_id, idx, para, md5(para) AS phash FROM h),
-        |o AS (SELECT phash, MIN(doc_id * 1024 + idx) AS owner_key FROM hh GROUP BY 1),
+        |o AS (SELECT phash, MIN(ROW(doc_id, idx)) AS ok FROM hh GROUP BY 1),
         |j AS (
         |  SELECT hh.doc_id, hh.idx, hh.para,
-        |         (hh.doc_id * 1024 + hh.idx = o.owner_key) AS owned
+        |         (ROW(hh.doc_id, hh.idx) = o.ok) AS owned
         |  FROM hh JOIN o ON hh.phash = o.phash)
         |SELECT doc_id, COUNT(*) AS n_paras,
         |       CAST(SUM(CASE WHEN owned THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,

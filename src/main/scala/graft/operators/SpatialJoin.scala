@@ -104,19 +104,33 @@ object SpatialJoin {
    */
   final case class JoinPlan(strategy: String, hotCells: Map[Long, Int])
 
-  /** Session-scoped planner cache: (session, zone-side semantic plan hash,
-    * level, planner params) -> JoinPlan. Repeated auto-joins against the
-    * SAME zone table (the dominant pattern: one zone layer, many point
+  /** Session-scoped planner cache: session -> (zone-side semantic plan
+    * hash, level, planner params) -> JoinPlan. Repeated auto-joins against
+    * the SAME zone table (the dominant pattern: one zone layer, many point
     * batches) skip the zone-cover count AND the sampled point histogram —
-    * two driver-blocking jobs per call otherwise. The key hashes the
+    * two driver-blocking jobs per call otherwise. The inner key hashes the
     * zones' ANALYZED logical plan (canonicalized), so any semantically
     * different zone frame misses; the point-side histogram is deliberately
     * NOT keyed — within one session the salting degree is a performance
     * heuristic for one workload's distribution, never a correctness input
     * (the salted and broadcast paths return identical rows, SkewJoinSpec).
-    * Bounded: one small JoinPlan per distinct (zones, level, params). */
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long, Long, Long), JoinPlan]()
+    * Lifecycle: the OUTER map holds the session WEAKLY, so a session's
+    * plans are collectable the moment the session is — no growth across
+    * session churn in a long-lived JVM, and no identity-hash collision can
+    * ever hand a new session a dead session's plan. */
+  private val planCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Long, Long), JoinPlan]]())
+  private def planCacheFor(s: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Long, Long), JoinPlan] =
+    planCaches.synchronized {
+      var m = planCaches.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Long, Long), JoinPlan]()
+        planCaches.put(s, m)
+      }
+      m
+    }
   /** Planner executions (cache misses) — observable by SkewJoinSpec. */
   private[graft] val plannerRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -148,10 +162,8 @@ object SpatialJoin {
                         hotCellCap: Long = 2000000L): DataFrame = {
     import points.sparkSession.implicits._
     val pts = points.withColumn("cell", GraftFunctions.cell_id(col("lon"), col("lat"), lit(level)))
-    // session identity via identityHashCode: the cache must not survive a
-    // session swap (a new session may read regenerated source files)
-    val cacheKey = (System.identityHashCode(points.sparkSession),
-                    zones.queryExecution.analyzed.semanticHash(), level,
+    val planCache = planCacheFor(points.sparkSession)
+    val cacheKey = (zones.queryExecution.analyzed.semanticHash(), level,
                     broadcastMaxCells, math.round(sampleFraction * 1e9), hotCellCap)
     val cached = planCache.get(cacheKey)
     val (plan, zoneCells) =

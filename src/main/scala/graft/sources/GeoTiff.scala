@@ -665,10 +665,20 @@ object GeoTiff {
                            val entries: Map[Int, Entry], val inlineLimit: Int = 4) {
     def scalar(tag: Int, default: Long = -1): Long =
       entries.get(tag).map(_.valueOrOffset).getOrElse(default)
+    /** Out-of-line payload bounds guard: Long math end-to-end (an Int
+      * product like typeSize * count wraps negative on a corrupt BigTIFF
+      * count and would sneak past the inline check into a multi-GiB
+      * allocation), and the offset compare is overflow-safe
+      * (base <= len - sz, never base + sz <= len). */
+    @inline private def checkPayload(e: Entry, sz: Long): Unit =
+      require(e.count >= 0 && e.valueOrOffset >= 0 &&
+              e.valueOrOffset <= bytes.length - sz,
+              s"tag ${e.tag}: payload (offset ${e.valueOrOffset}, $sz bytes) " +
+                s"out of bounds (${bytes.length}-byte file)")
     def longs(tag: Int): Array[Long] = entries.get(tag) match {
       case None => Array.empty
       case Some(e) =>
-        if (typeSize(e.tpe) * e.count <= inlineLimit) {
+        if (typeSize(e.tpe).toLong * e.count <= inlineLimit) {
           // inline payload: decode ALL count values from the value slot
           // (e.g. two SHORT strip byte-counts fit inline per the TIFF spec)
           val ib = ByteBuffer.wrap(e.inline).order(order)
@@ -682,6 +692,7 @@ object GeoTiff {
             }
           }
         } else {
+          checkPayload(e, typeSize(e.tpe).toLong * e.count)
           val base = e.valueOrOffset.toInt
           Array.tabulate(e.count) { i =>
             e.tpe match {
@@ -697,18 +708,22 @@ object GeoTiff {
       case None    => Array.empty
       case Some(e) =>
         // a single DOUBLE fits inline only in BigTIFF's 8-byte slot
-        if (8 * e.count <= inlineLimit)
+        if (8L * e.count <= inlineLimit)
           Array.tabulate(e.count)(i =>
             ByteBuffer.wrap(e.inline).order(order).getDouble(8 * i))
         else {
+          checkPayload(e, 8L * e.count)
           val base = e.valueOrOffset.toInt
           Array.tabulate(e.count)(i => buf.getDouble(base + 8 * i))
         }
     }
     def ascii(tag: Int): Option[String] = entries.get(tag).map { e =>
-      val raw = if (e.count <= inlineLimit) e.inline.take(e.count)
-                else java.util.Arrays.copyOfRange(bytes, e.valueOrOffset.toInt,
-                                                  e.valueOrOffset.toInt + e.count)
+      val raw = if (e.count >= 0 && e.count <= inlineLimit) e.inline.take(e.count)
+                else {
+                  checkPayload(e, e.count.toLong)
+                  java.util.Arrays.copyOfRange(bytes, e.valueOrOffset.toInt,
+                                               e.valueOrOffset.toInt + e.count)
+                }
       new String(raw, "US-ASCII").takeWhile(_ != '\u0000').trim
     }
   }
@@ -723,7 +738,9 @@ object GeoTiff {
     // unrepresentable — reject with a diagnostic instead of letting
     // .toInt wrap negative into an ArrayIndexOutOfBounds. (BigTIFF parses
     // fine, but payloads past 2 GiB still exceed byte-array ingest.)
-    require(ifdOff >= 0 && ifdOff + (if (big) 8 else 2) <= bytes.length,
+    // overflow-safe form (ifdOff + 8 wraps negative on a corrupt BigTIFF
+    // pointer near Long.MaxValue and would pass an additive compare)
+    require(ifdOff >= 0 && ifdOff <= bytes.length - (if (big) 8 else 2).toLong,
       s"IFD offset $ifdOff out of bounds (${bytes.length} bytes; " +
         "files over 2 GiB are unsupported — byte-array ingest)")
     val entrySize = if (big) 20 else 12
@@ -743,7 +760,11 @@ object GeoTiff {
           val c = buf.getLong(off + 4)
           require(c >= 0 && c <= Int.MaxValue, s"tag $tag count $c exceeds byte-array ingest")
           c.toInt
-        } else buf.getInt(off + 4)
+        } else {
+          val c = buf.getInt(off + 4)
+          require(c >= 0, s"tag $tag negative count $c") // corrupt u32 count
+          c
+        }
       val vOff = off + (if (big) 12 else 8)
       val inline = java.util.Arrays.copyOfRange(bytes, vOff, vOff + (if (big) 8 else 4))
       val v = typeSize(tpe).toLong * count match {

@@ -805,6 +805,37 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt BigTIFF counts/offsets fail with a diagnostic, not an OOM") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built BigTIFF: header + one IFD with a LONG8 TileOffsets entry
+    // whose count claims 2^28 values (2 GiB payload) — Int math on
+    // typeSize*count would wrap negative, slip past the inline check and
+    // attempt the allocation; the Long-math guard must reject it instead
+    def craft(count: Long, valueOff: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(200).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+      b.putLong(16L) // IFD at 16
+      b.putLong(3L)  // three entries
+      // ImageWidth / ImageLength (valid, inline)
+      for (tag <- Seq(256, 257)) {
+        b.putShort(tag.toShort).putShort(4.toShort).putLong(1L).putLong(8L)
+      }
+      // TileOffsets, LONG8, corrupt count/offset
+      b.putShort(324.toShort).putShort(16.toShort).putLong(count).putLong(valueOff)
+      b.putLong(0L) // next IFD
+      b.array()
+    }
+    val exOverflow = intercept[Exception](GeoTiff.parse(craft(1L << 28, 16L), "big-count"))
+    assert(exOverflow.getMessage != null)
+    // and a pointer near Long.MaxValue must hit the bounds diagnostic, not
+    // wrap through an additive compare into a garbage parse
+    val hdr = craft(1L, 16L)
+    val bb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(8, Long.MaxValue - 3) // first-IFD pointer
+    val exPtr = intercept[Exception](GeoTiff.parse(hdr, "big-ptr"))
+    assert(exPtr.getMessage.contains("out of bounds"))
+  }
+
   test("BigTIFF single-strip round-trip is bit-exact (inline LONG8 offsets)") {
     val r = mkRaster(4326)
     // single strip => the one-element LONG8 offset/bytecount arrays fit the
