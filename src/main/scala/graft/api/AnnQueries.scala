@@ -325,7 +325,7 @@ object AnnQueries {
     // database vectors indexed under their top-2 centroids, queries probe
     // the same 4/16 clusters as q43 — same probe fraction, strictly larger
     // candidate union, duplicates collapsed by the dense-rank re-rank (see
-    // ivfSearchRerank). AnnRecall measures the recall gain over q43 at the
+    // ivfSearch homeR > 1). AnnRecall measures the recall gain over q43 at the
     // identical 25% probe fraction.
     "q102_ann_ivf_rerank" -> { (s, dir) =>
       import s.implicits._
