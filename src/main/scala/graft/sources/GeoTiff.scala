@@ -153,10 +153,14 @@ object GeoTiff {
     require(bits == 32 || bits == 64 || palette.isDefined,
             s"unsupported float width $bits")
     require(planar == 1 || planar == 2, s"bad PlanarConfiguration $planar")
-    require(predictor == 1 || predictor == 3,
-            s"writer supports predictor 1 (none) or 3 (floating point), got $predictor")
-    require(predictor == 1 || palette.isEmpty,
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+            s"writer supports predictor 1 (none), 2 (int differencing) or 3 " +
+              s"(floating point), got $predictor")
+    require(predictor != 3 || palette.isEmpty,
             "predictor 3 applies to floating-point samples, not palette indices")
+    require(predictor != 2 || palette.isDefined,
+            "predictor 2 (horizontal differencing) applies to integer samples " +
+              "— the writer's integer path is palette mode")
     tile.foreach { case (tw, th) =>
       require(tw % 16 == 0 && th % 16 == 0, s"tile dims must be multiples of 16: ${tw}x$th")
     }
@@ -229,7 +233,10 @@ object GeoTiff {
       val sppC = if (planar == 2) 1 else spp
       val rowBytes = (tile.map(_._1).getOrElse(w)) * sppC * bps
       raw.map { c0 =>
-        val c = if (predictor == 3) fpPredictEncode(c0, rowBytes, bps) else c0
+        val c =
+          if (predictor == 3) fpPredictEncode(c0, rowBytes, bps)
+          else if (predictor == 2) intPredictEncode(c0, rowBytes, bps, sppC)
+          else c0
         if (deflate) deflateBytes(c) else if (lzw) lzwEncode(c) else c
       }
     }
@@ -455,6 +462,37 @@ object GeoTiff {
       r += 1
     }
     out
+  }
+
+  /** Predictor 2 (horizontal differencing) FORWARD transform — the writer
+    * twin of [[intPredictDecode]] (GDAL's usual companion to LZW/DEFLATE on
+    * integer rasters): per row, per channel, each sample becomes its delta
+    * from the previous sample. In place, iterating BACKWARD within the row
+    * so a diff never reads an already-diffed neighbor. Writer output is
+    * little-endian. */
+  private[graft] def intPredictEncode(data: Array[Byte], rowBytes: Int, bps: Int,
+                                      sppC: Int): Array[Byte] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val nRows = data.length / rowBytes
+    val samplesPerRow = rowBytes / bps
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      var s2 = samplesPerRow - 1
+      while (s2 >= sppC) {
+        val i = base + s2 * bps
+        val j = base + (s2 - sppC) * bps
+        bps match {
+          case 1 => bb.put(i, (bb.get(i) - bb.get(j)).toByte)
+          case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(j)).toShort)
+          case 4 => bb.putInt(i, bb.getInt(i) - bb.getInt(j))
+          case _ => throw new IllegalArgumentException(s"predictor 2 with $bps-byte samples")
+        }
+        s2 -= 1
+      }
+      r += 1
+    }
+    data
   }
 
   /** Predictor 2 (horizontal differencing) inverse for integer samples:

@@ -805,6 +805,26 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("predictor 2 (int differencing) palette write round-trips under deflate and LZW") {
+    val w = 30; val h = 20
+    for (bits <- Seq(8, 16)) {
+      val n = 1 << math.min(bits, 9) // exercise >255 codes at 16 bit
+      val codes = Array.tabulate(w * h)(i => ((i * 31) % math.min(n, 300)).toDouble)
+      val r = Raster("p2", 0L, w, h, 0.0, w.toDouble, 0.0, h.toDouble, 4326, Seq(codes))
+      val pal = Seq.tabulate(math.min(n, 300))(c => (c % 256, (c * 3) % 256, (c * 7) % 256))
+      for ((deflate, lzw) <- Seq((true, false), (false, true));
+           tile <- Seq(None, Some((16, 16)))) {
+        val bytes = GeoTiff.encode(r, bits = bits, deflate = deflate, lzw = lzw,
+                                   tile = tile, palette = Some(pal), predictor = 2)
+        val back = GeoTiff.parse(bytes, "p2", 0L)
+        sameValues(codes, back.bands.head)
+      }
+    }
+    // misuse is rejected loudly
+    intercept[IllegalArgumentException](
+      GeoTiff.encode(mkRaster(4326), predictor = 2))
+  }
+
   test("corrupt BigTIFF counts/offsets fail with a diagnostic, not an OOM") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-built BigTIFF: header + one IFD with a LONG8 TileOffsets entry
