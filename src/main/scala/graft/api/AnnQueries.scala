@@ -35,6 +35,8 @@ import org.apache.spark.sql.expressions.Window
  *  - q103: TRAINED broadcast codebook at K=1024 — q44's exact Lloyd pass
  *    with the assignment riding the q97 broadcast UDF on both the train
  *    and serve passes.
+ *  - q108: the production composition — trained K=1024 broadcast codebook
+ *    + top-2 multi-assignment + dense-rank re-rank at 25% probe.
  *
  * Only ranks are emitted (not raw cosines) so last-ulp float differences
  * can't flip a hash compare; rank ties are broken by vec_id.
@@ -319,6 +321,32 @@ object AnnQueries {
           trained.map(_.map(_.toDouble)), nprobe = 16, "qd")
         .drop("q", "qd")
       ivfSearch(assigned)
+    },
+
+    // The PRODUCTION IVF configuration — everything composed: trained
+    // codebook (q44's exact integer Lloyd) at K=1024, broadcast
+    // distribution on both passes (q97/q103's O(1)-plan shape),
+    // multi-assignment under the top-2 centroids, and the exact dense-rank
+    // re-rank (q102's recall-recovery stage). One query proving the four
+    // mechanisms compose without interference. Measured recall@3 at the
+    // same 25% probe fraction as q102: 60% (vs q102's 83% at K=16) — the
+    // honest structural trade on UNSTRUCTURED random embeddings: a finer
+    // quantizer (K ~ N/5 here) scatters near-neighbors across clusters, so
+    // fixed probe FRACTION recovers less as K grows; replication + re-rank
+    // claws part of it back, and on real clustered corpora the fine
+    // codebook is what makes large-K probing cheap (graft.tools.AnnRecall).
+    "q108_ann_ivf_full" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vn", sqrt(dot($"v", $"v")))
+        .withColumn("q", transform($"v", x => round(x * IvfQuant, 0).cast("bigint")))
+      val trained = trainCodebook(emb, BigIntInit, broadcastAssign = true)
+      val assigned = assignProbesBroadcast(
+          emb.withColumn("qd", $"q".cast("array<double>")),
+          trained.map(_.map(_.toDouble)), nprobe = 256, "qd")
+        .drop("q", "qd")
+      ivfSearch(assigned, homeR = 2)
     },
 
     // IVF with MULTI-ASSIGNMENT + exact re-rank (the recall-recovery stage):
@@ -653,6 +681,38 @@ object AnnQueries {
          |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
          |      FROM cand)
          |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // q108: q103's trained replay with rk <= 2 homes and the dense-rank
+    // re-rank (duplicates tie bitwise, DISTINCT collapses them)
+    "q108_ann_ivf_full" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vn
+         |  FROM embeddings),
+         |${trainedCentsSqlFor(BigIvfK,
+              "CAST(((c.c * 2654435761 + d.d * 40503) % 8191 - 4095) * 122 AS BIGINT)")},
+         |dots1 AS (
+         |  SELECT vdim.vec_id, m1.c, SUM(vdim.qv * m1.w) AS dt
+         |  FROM vdim JOIN m1 ON vdim.d = m1.d GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dt DESC, c) AS rk
+         |  FROM dots1),
+         |homes AS (
+         |  SELECT e.vec_id, e.v, e.vn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id WHERE r.rk <= 2),
+         |qprobes AS (
+         |  SELECT e.vec_id AS qid, e.v AS qv, e.vn AS qn, r.c
+         |  FROM ranked r JOIN e ON r.vec_id = e.vec_id
+         |  WHERE r.rk <= 256 AND e.vec_id < 10),
+         |cand AS (
+         |  SELECT q.qid, h.vec_id,
+         |         list_dot_product(q.qv, h.v) / (q.qn * h.vn) AS cos
+         |  FROM homes h JOIN qprobes q ON h.c = q.c
+         |  WHERE h.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id,
+         |             DENSE_RANK() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM cand)
+         |SELECT DISTINCT qid, rnk, vec_id FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     "q46_embed_quantize" ->
       """WITH e AS (

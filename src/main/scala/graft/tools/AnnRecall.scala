@@ -20,7 +20,7 @@ object AnnRecall {
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
 
     val truth = topSet("q40_ann_bruteforce")
-    for (q <- Seq("q43_ann_ivf", "q44_ann_ivf_trained", "q102_ann_ivf_rerank")) {
+    for (q <- Seq("q43_ann_ivf", "q44_ann_ivf_trained", "q102_ann_ivf_rerank", "q108_ann_ivf_full")) {
       val got = topSet(q)
       val hits = truth.map { case (k, t) => (got.getOrElse(k, Set.empty) & t).size }.sum
       val total = truth.values.map(_.size).sum
