@@ -28,7 +28,7 @@ object RasterQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_bandmix" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/lineitem.parquet")
+      graft.api.Inputs.parquet(s, s"$dir/lineitem.parquet")
         .withColumn("bands", array($"l_quantity", $"l_discount" * 100, $"l_linenumber".cast("double")))
         .select(
           $"l_orderkey", $"l_linenumber",

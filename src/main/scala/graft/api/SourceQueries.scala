@@ -24,7 +24,10 @@ object SourceQueries {
     * datetime — the arithmetic the DuckDB oracles replay. */
   private def evBase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/events.parquet")
+    // widened scan: the item-doc synthesis + from_json parse downstream is
+    // per-row-expensive, and the single small events file otherwise plans
+    // one scan task (Inputs.wide is a no-op at real scale)
+    Inputs.parquet(s, s"$dir/events.parquet")
       .select($"event_id", $"ts")
       .withColumn("minx", lit(-76.0) + ($"event_id" % 40).cast("double") * 0.05)
       .withColumn("miny", lit(2.0) + ($"event_id" % 30).cast("double") * 0.04)
@@ -107,9 +110,15 @@ object SourceQueries {
     // ./-href resolution, or an orphan leak all flip the compare.
     "q70_stac_traversal" -> { (s, dir) =>
       import s.implicits._
+      // ONE materialization of the synthesized event docs: `ev` feeds three
+      // consumers (paged pages, static items, the col-3 collection doc) and
+      // each would otherwise re-run the scan + widening exchange + the
+      // per-row doc synthesis — job-scoped localCheckpoint, GC'd with the
+      // RDD (guide §2.4: don't recompute what three branches share)
       val ev = evBase(s, dir)
         .withColumn("c", ($"event_id" % 5).cast("int"))
         .withColumn("doc", itemDoc)
+        .localCheckpoint(true)
       def pageUrl(c: Column, pg: Column): Column =
         concat(lit("https://cat/search?collections=col-"), c.cast("string"),
                lit(s"&limit=$PageLimit"),

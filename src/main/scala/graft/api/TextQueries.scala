@@ -44,7 +44,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .groupBy(md5($"text").as("text_hash"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy($"text_hash")
@@ -52,7 +52,7 @@ object TextQueries {
 
     "q31_token_stats" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .withColumn("n_tokens", size($"toks").cast("bigint"))
         .withColumn("n_the", size(filter($"toks", t => t === "the")).cast("bigint"))
@@ -66,7 +66,7 @@ object TextQueries {
 
     "q32_lang_profile" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .groupBy($"lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -83,7 +83,7 @@ object TextQueries {
     // min over distinct tokens of md5(token)[8i .. 8i+8).
     "q33_minhash_sigs" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
         .select(col("doc_id") +: (0 until 4).map(i =>
           array_min(transform($"mh", h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
@@ -106,7 +106,7 @@ object TextQueries {
     // allocations (~4x on the sf0.1 corpus)
     "q35_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .select(
           $"doc_id",
           substring(md5($"text"), 1, 16).as("fp_exact"),
@@ -133,7 +133,7 @@ object TextQueries {
           t => substring(md5(concat(lit(s"$l|"), t)), 1, 1).isin("0", "1", "2", "3", "4")))
           .cast("bigint").as(s"s_$l")
       }
-      val scored = s.read.parquet(s"$dir/documents.parquet")
+      val scored = Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .select(($"doc_id" +: $"lang".as("true_lang") +: scoredCols): _*)
       val best = langs.map(l => struct(col(s"s_$l").as("score"), lit(l).as("l")))
@@ -150,7 +150,7 @@ object TextQueries {
     // shape of a real BPE pre-tokenizer)
     "q39_token_bpe" -> { (s, dir) =>
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("units", expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
         .select(
           $"doc_id",
@@ -168,7 +168,7 @@ object TextQueries {
     "q45_quality_filter" -> { (s, dir) =>
       import s.implicits._
       val stops = Seq("the", "of", "and", "a", "to", "in", "is", "it")
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .withColumn("n_tokens", size($"toks").cast("bigint"))
         .withColumn("stop_ratio",
@@ -192,7 +192,7 @@ object TextQueries {
     "q47_dataset_split" -> { (s, dir) =>
       import s.implicits._
       val c = substring(md5($"text"), 1, 1)
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("split",
           when(c <= "b", "train").when(c <= "d", "val").otherwise("test"))
         .groupBy($"split")
@@ -207,7 +207,7 @@ object TextQueries {
     // token multiset; simhash bit set iff the (+1/-1) vote sum is positive
     "q36_simhash" -> { (s, dir) =>
       import s.implicits._
-      val tok = s.read.parquet(s"$dir/documents.parquet")
+      val tok = Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .withColumn("h", md5($"tok"))
       val votes = (0 until 16).map { b =>
@@ -241,7 +241,7 @@ object TextQueries {
     // scale; no token list ever sits on the driver.
     "q59_oov_rate" -> { (s, dir) =>
       import s.implicits._
-      val toks = s.read.parquet(s"$dir/documents.parquet")
+      val toks = Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .localCheckpoint(true) // vocab build + probe both read it
       val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
@@ -265,7 +265,7 @@ object TextQueries {
       import s.implicits._
       val norm = trim(regexp_replace(
         regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
-      s.read.parquet(s"$dir/documents.parquet")
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", md5(norm).as("nhash"))
         .groupBy($"nhash")
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_members"))
@@ -284,7 +284,7 @@ object TextQueries {
     // mean keep everything (rate >= 1 makes the inequality vacuous).
     "q48_mixture_sample" -> { (s, dir) =>
       import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", $"source", $"n_chars")
       val stats = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
       val tot = docs.agg(count(lit(1)).as("n"), countDistinct($"source").as("k"))
@@ -321,7 +321,7 @@ object TextQueries {
       val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
       val phoneRe = "555-[0-9]{4}"
       val ipRe = "10[.][0-9]{1,3}[.]0[.][0-9]{1,3}"
-      val withPii = s.read.parquet(s"$dir/documents.parquet")
+      val withPii = Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("text2", concat(
           $"text", lit(" contact user"), $"doc_id",
           lit("@mail"), $"doc_id" % 7, lit(".com or 555-"),
@@ -354,7 +354,7 @@ object TextQueries {
     // per-doc state, linear at corpus scale.
     "q106_paragraph_dedup" -> { (s, dir) =>
       import s.implicits._
-      val paras = s.read.parquet(s"$dir/documents.parquet")
+      val paras = Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .withColumn("np", ceil(size($"toks") / 10.0).cast("int"))
         .select($"doc_id", posexplode(
@@ -365,12 +365,16 @@ object TextQueries {
       // global first-occurrence owner per paragraph hash: LEXICOGRAPHIC min
       // of (doc_id, idx) as a struct — injective for ANY document length
       // (an arithmetic packing like doc_id*K+idx silently collides once
-      // idx >= K and both colliding rows would claim ownership)
-      val owners = paras
-        .groupBy($"phash")
-        .agg(min(struct($"doc_id", $"idx")).as("owner"))
-      paras.join(owners, "phash")
-        .withColumn("owned", struct($"doc_id", $"idx") === $"owner")
+      // idx >= K and both colliding rows would claim ownership).
+      // Round-6: the owner is a WINDOW min over phash, not a groupBy+join —
+      // the join evaluated the explode+md5 pipeline TWICE (both sides) and
+      // shuffled every paragraph string an extra time; the window computes
+      // the same min in the single exchange the data needed anyway
+      // (guide §2.4: two operations keyed the same way share one exchange)
+      paras
+        .withColumn("owned", struct($"doc_id", $"idx") ===
+          min(struct($"doc_id", $"idx")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"phash")))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_paras"),
              sum(when($"owned", 1L).otherwise(0L)).as("n_owned"),
@@ -394,16 +398,27 @@ object TextQueries {
     // (source) or (text hash), so the funnel is linear at corpus scale.
     "q107_corpus_prep" -> { (s, dir) =>
       import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // ONE scan computes every per-doc fact the funnel consumes (token
+      // counts, distinct-token count, text hash) and is materialized
+      // job-scoped: the four stage legs (a/b/c/d) and the rate table would
+      // otherwise each re-run the split + array_distinct + md5 pipeline
+      // over the full corpus — guide §2.4 (share one pass), VERDICT r5 #6.
+      // The narrow frame (5 columns, no text) is what shuttles between
+      // stages — heavy bytes are read once (§2.3).
+      val base = Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .withColumn("n_tokens", size($"toks").cast("long"))
         .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
-      val quality = docs.filter($"n_tokens" >= 20 && $"n_distinct" * 10L >= $"n_tokens" * 3L)
+        .select($"doc_id", $"source", $"n_tokens", $"n_distinct", md5($"text").as("thash"))
+        .localCheckpoint(true)
+      val quality = base.filter($"n_tokens" >= 20 && $"n_distinct" * 10L >= $"n_tokens" * 3L)
+      // dedup survivors feed five consumers (stats, tot, fin, c, d) —
+      // materialize the window result once, job-scoped
       val deduped = quality
-        .withColumn("thash", md5($"text"))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"thash").orderBy($"doc_id")))
         .filter($"rn" === 1)
+        .localCheckpoint(true)
       val stats = deduped.groupBy($"source").agg(count(lit(1)).as("n_s"))
       val tot = deduped.agg(count(lit(1)).as("n"), countDistinct($"source").as("k"))
       val hv = (($"doc_id" % 1048576L) * 2654435761L
@@ -411,7 +426,7 @@ object TextQueries {
       val fin = deduped.join(broadcast(stats.crossJoin(tot)), "source")
         .withColumn("hv", hv)
         .filter($"hv" * $"n_s" * $"k" < $"n" * 65536L)
-      val a = docs.groupBy($"source").agg(count(lit(1)).as("n_in"))
+      val a = base.groupBy($"source").agg(count(lit(1)).as("n_in"))
       val b = quality.groupBy($"source").agg(count(lit(1)).as("n_quality"))
       val c = deduped.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
       val d = fin.groupBy($"source").agg(
@@ -436,7 +451,7 @@ object TextQueries {
     // the count map, so the shape holds at corpus scale.
     "q52_repetition_stats" -> { (s, dir) =>
       import s.implicits._
-      val toks = s.read.parquet(s"$dir/documents.parquet")
+      val toks = Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", split($"text", " ").as("t"))
         .localCheckpoint(true)
       val base = toks.select($"doc_id", size($"t").as("n_tokens"),
@@ -473,7 +488,7 @@ object TextQueries {
     // the rest of the plan is unchanged.
     "q49_decontaminate" -> { (s, dir) =>
       import s.implicits._
-      val toks = s.read.parquet(s"$dir/documents.parquet")
+      val toks = Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id", split($"text", " ").as("t"))
       val grams = toks.select($"doc_id",
         explode(when(size($"t") < 3, array().cast("array<string>"))
@@ -513,7 +528,7 @@ object TextQueries {
         .minLabel(pairs, "doc_a", "doc_b", edgesDistinct = true)
         .withColumnRenamed("id", "doc_id")
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
-      s.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+      Inputs.parquet(s, s"$dir/documents.parquet").select($"doc_id")
         .join(comp, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
@@ -531,14 +546,18 @@ object TextQueries {
     // SMALL side here — pairs outnumber docs by ~1000x)
     // tsets sorted ONCE per doc so the refine uses the allocation-free
     // merge-walk Jaccard expression (graft_jaccard) per candidate pair
-    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val docs = Inputs.parquet(s, s"$dir/documents.parquet")
       .select($"doc_id", sort_array(array_distinct(split($"text", " "))).as("tset"))
       .localCheckpoint(true)
+    // band signatures via the native one-pass expression (one md5 per
+    // token per band, no 32-char hex intermediates, whole-stage codegen) —
+    // bit-identical to the transform/array_min/substring pipeline it
+    // replaces (MinhashBandSigSpec pins the equivalence; the DuckDB oracle
+    // still replays the original arithmetic)
     val bandSigs = (0 until 4).map { band =>
-      val mh = transform($"tset", t => md5(concat(lit(s"$band|"), t)))
       struct(lit(band).as("band"),
-             concat((0 until 6).map(j =>
-               array_min(transform(mh, h => substring(h, j * 4 + 1, 4)))): _*).as("sig"))
+             graft.functions.GraftFunctions
+               .minhash_band_sig($"tset", lit(band)).as("sig"))
     }
     val sigs = docs.select($"doc_id", explode(array(bandSigs: _*)).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.sig".as("sig"))

@@ -37,7 +37,7 @@ object InterleavedDocs {
   /** The interleaved docs DataFrame: (doc_id string, spans array<struct>). */
   def docs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val base = graft.api.Inputs.parquet(spark, s"$dir/documents.parquet")
       .select($"doc_id".as("d"), split($"text", " ").as("toks"))
     val nspans = ceil(size($"toks") / 5.0).cast("int")
     base.select(
@@ -86,13 +86,50 @@ object InterleavedDocs {
     lit(Geo.minY) + split(stext, ":")(1).cast("long").cast("double") / 100000.0 *
       (lit(Geo.maxY) - lit(Geo.minY))
 
-  /** Geometry extraction: geo spans -> (doc_id, span_idx, lon, lat). */
+  /** Span indices of one kind, synthesized ARITHMETICALLY — without the
+    * text-chunk/media-ref payloads `docs()` builds for every span. A geo or
+    * media span's payload is a pure function of (d, i), so consumers that
+    * filter to one kind (geoPoints, the media table) never need the token
+    * chunks `transform` would concatenate for the text spans — measured
+    * ~2x on the flagship q16+q17 pipeline, which otherwise pays the full
+    * span synthesis and then discards 3/4 of it (optimization guide §2.3:
+    * don't compute what you throw away). Selectivity/kind arithmetic is
+    * identical to `docs()` (same (d+i)%4 rule, same nspans), so the row set
+    * is exactly `flatSpans.filter(kind)`. Output: (doc_id, d, span_idx). */
+  private def spanIndicesOfKind(spark: SparkSession, dir: String, sel: Int): DataFrame = {
+    import spark.implicits._
+    val base = graft.api.Inputs.parquet(spark, s"$dir/documents.parquet")
+      .select($"doc_id".as("d"), size(split($"text", " ")).as("ntoks"))
+    val nspans = ceil($"ntoks" / 5.0).cast("int")
+    base.select(
+        concat(lit("doc-"), lpad($"d".cast("string"), 12, "0")).as("doc_id"),
+        $"d",
+        explode(filter(sequence(lit(0), nspans - 1),
+                       i => ($"d" + i) % 4 === sel)).as("i"))
+      .select($"doc_id", $"d", $"i".cast("bigint").as("span_idx"))
+  }
+
+  /** Media spans without payload synthesis: (doc_id, d, span_idx,
+    * media_ref) — the [[graft.multimodal.MediaPipeline]] input. */
+  def mediaSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spanIndicesOfKind(spark, dir, sel = 1)
+      .withColumn("media_ref",
+        concat(lit("media://"), $"d".cast("string"), lit("/"), $"span_idx".cast("string")))
+  }
+
+  /** Geometry extraction: geo spans -> (doc_id, span_idx, lon, lat).
+    * Fast path: geo payloads are (d, i) arithmetic — the "u:v" string of
+    * `docs()` round-trips integers exactly, so computing u and v directly
+    * yields bit-identical lon/lat through the same affine. */
   def geoPoints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    flatSpans(spark, dir)
-      .filter($"kind" === "geo")
+    spanIndicesOfKind(spark, dir, sel = 0)
       .select($"doc_id", $"span_idx",
-              spanLon($"stext").as("lon"), spanLat($"stext").as("lat"))
+        (lit(Geo.minX) + (($"d" * 7919 + $"span_idx" * 37) % 100000).cast("double")
+          / 100000.0 * (lit(Geo.maxX) - lit(Geo.minX))).as("lon"),
+        (lit(Geo.minY) + (($"d" * 104729 + $"span_idx" * 53) % 100000).cast("double")
+          / 100000.0 * (lit(Geo.maxY) - lit(Geo.minY))).as("lat"))
   }
 
   /** DuckDB CTE replaying the synthesis + extraction, for the oracles. */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, ShingleMinMd5Expr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -28,6 +28,9 @@ object GraftFunctions {
   def hyperplane_bucket(v: Column, table: Column, planes: Column): Column =
     ColumnShim.column(HyperplaneBucketExpr(
       ColumnShim.expression(v), ColumnShim.expression(table), ColumnShim.expression(planes)))
+
+  def minhash_band_sig(tset: Column, band: Column): Column =
+    ColumnShim.column(MinhashBandSigExpr(ColumnShim.expression(tset), ColumnShim.expression(band)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -63,7 +66,10 @@ object GraftFunctions {
        arity("graft_shingle_min_md5", 2)(e => ShingleMinMd5Expr(e(0), e(1))) _),
       (FunctionIdentifier("graft_hyperplane_bucket"),
        new ExpressionInfo(classOf[HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
-       arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _))
+       arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _),
+      (FunctionIdentifier("graft_minhash_band_sig"),
+       new ExpressionInfo(classOf[MinhashBandSigExpr].getName, "graft_minhash_band_sig"),
+       arity("graft_minhash_band_sig", 2)(e => MinhashBandSigExpr(e(0), e(1))) _))
   }
 
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */

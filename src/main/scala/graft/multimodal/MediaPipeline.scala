@@ -29,9 +29,11 @@ object MediaPipeline {
     * (doc_id, span_idx, media_ref, bytes, width, height, n_frames). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spans = InterleavedDocs.flatSpans(spark, dir)
-      .filter($"kind" === "media")
-      .withColumn("d", substring($"doc_id", 5, 12).cast("long"))
+    // media spans synthesized arithmetically (payloads are (d, i) functions)
+    // — skips the text-chunk concat work of the full span table, which the
+    // kind filter would discard anyway; row set identical to
+    // flatSpans.filter(kind = 'media')
+    val spans = InterleavedDocs.mediaSpans(spark, dir)
     val gen = udf { (d: Long, i: Long) =>
       val n = (100 + (d * 7 + i * 3) % 400).toInt
       val b = ((d * 31 + i) % 256).toByte

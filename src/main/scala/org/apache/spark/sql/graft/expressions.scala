@@ -106,6 +106,53 @@ object TextKernels {
     }
     false
   }
+
+  /**
+   * MinHash band signature (the q37/q76 signature hot loop): for band b over
+   * the distinct-token array, the 24-hex-char concatenation of
+   *   min over tokens t of substr(md5(b + "|" + t), 4j+1, 4)   for j = 0..5.
+   * Exactly equivalent to the transform/array_min/substring Column pipeline
+   * it replaces: a 4-hex-char window of the digest is digest bytes
+   * [2j, 2j+2), and lexicographic order on lowercase hex equals unsigned
+   * order on those two bytes — but ONE digest per token with no 32-char hex
+   * materialization, no per-band intermediate arrays, and a codegen'd call
+   * (ArrayTransform/ArrayMin are CodegenFallback and broke whole-stage
+   * codegen for the signature projection).
+   */
+  def minhashBandSig(tset: ArrayData, band: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val n = tset.numElements()
+    if (n == 0) return null // concat over array_min(empty) = null upstream
+    val md = md5TL.get()
+    val prefix = (String.valueOf(band) + "|")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val best = new Array[Int](6)
+    java.util.Arrays.fill(best, -1)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(prefix)
+      md.update(tset.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var j = 0
+      while (j < 6) {
+        val v = ((d(2 * j) & 0xff) << 8) | (d(2 * j + 1) & 0xff)
+        if (best(j) < 0 || v < best(j)) best(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val hex = new Array[Char](24)
+    var j = 0
+    while (j < 6) {
+      val v = best(j)
+      hex(4 * j) = HexDigits((v >> 12) & 0xf)
+      hex(4 * j + 1) = HexDigits((v >> 8) & 0xf)
+      hex(4 * j + 2) = HexDigits((v >> 4) & 0xf)
+      hex(4 * j + 3) = HexDigits(v & 0xf)
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+  }
 }
 
 /** Embedding kernels for the ANN/near-dup hot loops. */
@@ -191,6 +238,40 @@ case class ShingleMinMd5Expr(left: Expression, right: Expression)
       s"org.apache.spark.sql.graft.TextKernels.shingleMinMd5Hex($toks, $k)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleMinMd5Expr =
+    copy(left = l, right = r)
+}
+
+/**
+ * graft_minhash_band_sig(tset array<string>, band int) → string
+ *
+ * One band's 24-hex-char MinHash signature in a single digest pass per
+ * token (see [[TextKernels.minhashBandSig]]) — the q37/q76 signature
+ * projection hot loop. Returns null for an empty token array (matching the
+ * concat-of-null-array_mins it replaces); null inputs propagate null.
+ */
+case class MinhashBandSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_band_sig"
+
+  override protected def nullSafeEval(tset: Any, band: Any): Any =
+    TextKernels.minhashBandSig(tset.asInstanceOf[ArrayData], band.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = "org.apache.spark.sql.graft.TextKernels.minhashBandSig"
+    nullSafeCodeGen(ctx, ev, (tset, band) =>
+      s"""
+         |${ev.value} = $f($tset, $band);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashBandSigExpr =
     copy(left = l, right = r)
 }
 
