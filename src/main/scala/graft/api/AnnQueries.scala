@@ -415,21 +415,46 @@ object AnnQueries {
       else assignProbes(emb.select($"vec_id", $"q"),
         centArrayLitL(init), nprobe = 1, idot, "q")
       .select($"q", $"c")
-    val sums = home
-      .select($"c", posexplode($"q").as(Seq("d", "qv")))
-      .groupBy($"c", $"d")
-      .agg(sum($"qv").as("s"), count(lit(1)).as("n"))
-      // exact floor division: (s - pmod(s, n)) is divisible by n, and `div`
-      // keeps the arithmetic integral at ANY magnitude (double `/` would only
-      // be exact below 2^53 — per-cluster sums of 1e6-quantized vectors
-      // approach that around ~1e9 members)
-      .withColumn("m", expr("(s - pmod(s, n)) div n"))
-      .select($"c", $"d", $"m")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
-      .toMap
-    (0 until k).map(c => (0 until 64).map(d =>
-      sums.getOrElse((c, d), init(c)(d))))
+    // centroid update by treeAggregate (round-6, VERDICT r5 #5): the
+    // per-dimension sums accumulate EXECUTOR-SIDE into one K x 64 long
+    // array per partition, combined pairwise — no posexplode (64x the
+    // rows), no (c, d) shuffle, and the driver receives O(K) partials
+    // instead of a K*64-row result set. Scale math: at the K ~ sqrt(N) ~
+    // 10^6 design point a partial is K*65*8B ~ 520 MB — past ~10^5 shard
+    // the codebook across several aggregates or raise depth; at the tested
+    // K <= 1024 a partial is ~0.5 MB. Long sums are exact and
+    // order-independent, so the result is bit-identical to the old
+    // groupBy/collect path (the oracle replay and AnnEquivalenceSpec pin
+    // it).
+    val agg = home.select($"c", $"q").as[(Int, Array[Long])].rdd
+      .treeAggregate(null: Array[Long])(
+        seqOp = (acc0, row) => {
+          val acc = if (acc0 == null) new Array[Long](k * 65) else acc0
+          val (c, q) = row
+          val base = c * 65
+          var d = 0
+          while (d < 64) { acc(base + d) += q(d); d += 1 }
+          acc(base + 64) += 1L // member count
+          acc
+        },
+        combOp = (a, b) => {
+          if (a == null) b
+          else if (b == null) a
+          else {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          }
+        },
+        depth = 2)
+    (0 until k).map { c =>
+      val n = if (agg == null) 0L else agg(c * 65 + 64)
+      (0 until 64).map { d =>
+        if (n == 0L) init(c)(d) // empty cluster keeps the init row
+        // exact floor division, same value as the SQL (s - pmod(s, n)) div n
+        else Math.floorDiv(agg(c * 65 + d), n)
+      }
+    }
   }
 
   /**

@@ -21,13 +21,17 @@ object SourceQueries {
   private val QEnd = 1705708800000L
 
   /** Shared item-synthesis base (q65/q70): per-event bbox, EPSG, µs-ISO
-    * datetime — the arithmetic the DuckDB oracles replay. */
-  private def evBase(s: SparkSession, dir: String): DataFrame = {
+    * datetime — the arithmetic the DuckDB oracles replay.
+    * `wide`: q65 widens the scan (its 30k-doc from_json parse is the
+    * per-row-heavy consumer and measured 5.5 s -> 1.6 s); q70 keeps the
+    * narrow scan — its consumers aggregate into ~50 page documents through
+    * a 5-group window, and widening every upstream frame measured +2.6 s of
+    * pure stage/task inflation with no parse to amortize it. */
+  private def evBase(s: SparkSession, dir: String, wide: Boolean = true): DataFrame = {
     import s.implicits._
-    // widened scan: the item-doc synthesis + from_json parse downstream is
-    // per-row-expensive, and the single small events file otherwise plans
-    // one scan task (Inputs.wide is a no-op at real scale)
-    Inputs.parquet(s, s"$dir/events.parquet")
+    val raw = if (wide) Inputs.parquet(s, s"$dir/events.parquet")
+              else s.read.parquet(s"$dir/events.parquet")
+    raw
       .select($"event_id", $"ts")
       .withColumn("minx", lit(-76.0) + ($"event_id" % 40).cast("double") * 0.05)
       .withColumn("miny", lit(2.0) + ($"event_id" % 30).cast("double") * 0.04)
@@ -110,15 +114,9 @@ object SourceQueries {
     // ./-href resolution, or an orphan leak all flip the compare.
     "q70_stac_traversal" -> { (s, dir) =>
       import s.implicits._
-      // ONE materialization of the synthesized event docs: `ev` feeds three
-      // consumers (paged pages, static items, the col-3 collection doc) and
-      // each would otherwise re-run the scan + widening exchange + the
-      // per-row doc synthesis — job-scoped localCheckpoint, GC'd with the
-      // RDD (guide §2.4: don't recompute what three branches share)
-      val ev = evBase(s, dir)
+      val ev = evBase(s, dir, wide = false)
         .withColumn("c", ($"event_id" % 5).cast("int"))
         .withColumn("doc", itemDoc)
-        .localCheckpoint(true)
       def pageUrl(c: Column, pg: Column): Column =
         concat(lit("https://cat/search?collections=col-"), c.cast("string"),
                lit(s"&limit=$PageLimit"),
@@ -165,7 +163,14 @@ object SourceQueries {
       // no checkpoint here: walkItems consumes the document set exactly
       // once (it parses with the union schema and materializes the PARSED
       // frame), so the fixture assembly runs once end to end
+      // the union is SKEWED: ~3/4 of the documents (every col-3 item doc)
+      // sit in the one narrow staticItems branch while the page branch is
+      // ~50 fat rows across 32 near-empty shuffle partitions — balance it
+      // before walkItems' per-row from_json parse (guide §2.5, input skew:
+      // repartition right after the skewed source; parallelism derives from
+      // the session, the ~10 MB fixture shuffle is noise)
       val docs = pages.unionByName(staticItems).unionByName(col3).unionByName(constDocs)
+        .repartition(s.sparkContext.defaultParallelism)
       StacTraversal.walkItems(docs, "url", "json",
           Seq("https://cat/rootA.json", "https://cat/rootB.json"), PageLimit)
         .select($"collection_id", $"item_id", $"epsg".cast("bigint").as("epsg"), $"ts")

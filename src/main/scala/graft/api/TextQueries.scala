@@ -44,7 +44,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> { (s, dir) =>
       import s.implicits._
-      Inputs.parquet(s, s"$dir/documents.parquet")
+      s.read.parquet(s"$dir/documents.parquet")
         .groupBy(md5($"text").as("text_hash"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy($"text_hash")
@@ -66,7 +66,7 @@ object TextQueries {
 
     "q32_lang_profile" -> { (s, dir) =>
       import s.implicits._
-      Inputs.parquet(s, s"$dir/documents.parquet")
+      s.read.parquet(s"$dir/documents.parquet")
         .groupBy($"lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -204,20 +204,16 @@ object TextQueries {
     },
 
     // 16-bit SimHash: bit b votes by the parity of md5 hex char b across the
-    // token multiset; simhash bit set iff the (+1/-1) vote sum is positive
+    // token multiset; simhash bit set iff the (+1/-1) vote sum is positive.
+    // Round-6: ONE codegen'd pass per document (graft_simhash16) — the
+    // explode + 16-sum groupBy it replaces shuffled 64x the rows to compute
+    // a per-document fold; Simhash16Spec pins bit-equality with that
+    // pipeline (and the DuckDB oracle still replays the exploded form).
     "q36_simhash" -> { (s, dir) =>
       import s.implicits._
-      val tok = Inputs.parquet(s, s"$dir/documents.parquet")
-        .select($"doc_id", explode(split($"text", " ")).as("tok"))
-        .withColumn("h", md5($"tok"))
-      val votes = (0 until 16).map { b =>
-        sum(ascii(substring($"h", b + 1, 1)) % 2 * 2 - 1).as(s"v$b")
-      }
-      tok.groupBy($"doc_id")
-        .agg(votes.head, votes.tail: _*)
+      Inputs.parquet(s, s"$dir/documents.parquet")
         .select($"doc_id",
-          (0 until 16).map(b => when(col(s"v$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
-            .as("simhash"))
+          graft.functions.GraftFunctions.simhash16(split($"text", " ")).as("simhash"))
         .orderBy($"doc_id")
     },
 

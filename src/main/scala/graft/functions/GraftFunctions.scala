@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, Simhash16Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -31,6 +31,9 @@ object GraftFunctions {
 
   def minhash_band_sig(tset: Column, band: Column): Column =
     ColumnShim.column(MinhashBandSigExpr(ColumnShim.expression(tset), ColumnShim.expression(band)))
+
+  def simhash16(toks: Column): Column =
+    ColumnShim.column(Simhash16Expr(ColumnShim.expression(toks)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -69,7 +72,10 @@ object GraftFunctions {
        arity("graft_hyperplane_bucket", 3)(e => HyperplaneBucketExpr(e(0), e(1), e(2))) _),
       (FunctionIdentifier("graft_minhash_band_sig"),
        new ExpressionInfo(classOf[MinhashBandSigExpr].getName, "graft_minhash_band_sig"),
-       arity("graft_minhash_band_sig", 2)(e => MinhashBandSigExpr(e(0), e(1))) _))
+       arity("graft_minhash_band_sig", 2)(e => MinhashBandSigExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_simhash16"),
+       new ExpressionInfo(classOf[Simhash16Expr].getName, "graft_simhash16"),
+       arity("graft_simhash16", 1)(e => Simhash16Expr(e(0))) _))
   }
 
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */

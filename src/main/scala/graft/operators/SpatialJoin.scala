@@ -108,7 +108,15 @@ object SpatialJoin {
     * hash, level, planner params) -> JoinPlan. Repeated auto-joins against
     * the SAME zone table (the dominant pattern: one zone layer, many point
     * batches) skip the zone-cover count AND the sampled point histogram —
-    * two driver-blocking jobs per call otherwise. The inner key hashes the
+    * two driver-blocking jobs per call otherwise.
+    * DATA-STALENESS ASSUMPTION (ADVICE r5): the key hashes the zones'
+    * canonicalized LOGICAL plan, so zone DATA that changes in-session under
+    * the same plan (a rewritten parquet path, a zone table grown past
+    * broadcastMaxCells) reuses the stale strategy — rows stay correct on
+    * either path (SkewJoinSpec parity), but a now-huge zone side could be
+    * broadcast. Long-lived sessions with mutating zone sources should clear
+    * via [[clearPlanCache]]. A 32-bit semanticHash collision likewise only
+    * risks a suboptimal strategy, never wrong rows. The inner key hashes the
     * zones' ANALYZED logical plan (canonicalized), so any semantically
     * different zone frame misses; the point-side histogram is deliberately
     * NOT keyed — within one session the salting degree is a performance
@@ -133,6 +141,15 @@ object SpatialJoin {
     }
   /** Planner executions (cache misses) — observable by SkewJoinSpec. */
   private[graft] val plannerRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Drop every cached join plan for `session` — the escape hatch for
+    * long-lived sessions whose zone SOURCES mutate under an unchanged
+    * logical plan (see the staleness note on the cache above). */
+  def clearPlanCache(session: org.apache.spark.sql.SparkSession): Unit =
+    planCaches.synchronized {
+      val m = planCaches.get(session)
+      if (m != null) m.clear()
+    }
 
   def planPointsInZones(points: DataFrame, zoneCells: DataFrame,
                         broadcastMaxCells: Long = 200000L,

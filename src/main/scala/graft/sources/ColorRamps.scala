@@ -120,7 +120,10 @@ object ColorRamps {
     (153, 51, 102), (51, 51, 153), (51, 51, 51))
 
   /** Name dispatch (Renderer.java:585-607). Unknown names -> None, as the
-    * reference's switch falls through to null. */
+    * reference's switch falls through to null. Deliberate addition beyond
+    * that switch: "grayscale" (the reference builds the table but its
+    * switch never dispatches it — ADVICE r5 asked this divergence be
+    * documented; exposing the dead table by name is the useful reading). */
   def byName(name: String): Option[IndexedSeq[Rgb]] = name match {
     case "jet"           => Some(jet)
     case "heat"          => Some(heat)

@@ -1105,6 +1105,12 @@ object GeoTiff {
       if (x0 >= vx0 + vw || x0 + cw_ <= vx0 || row0 >= vrow0 + vh || row0 + ch_ <= vrow0)
         return
       chunksDecoded.incrementAndGet()
+      // overflow-safe bounds guard (ADVICE r5): a corrupt BigTIFF LONG8
+      // offset would otherwise alias through off.toInt (2^32+100 -> 100)
+      // and decode the wrong bytes into pixel values instead of failing
+      // with a diagnostic — mirror Tags.checkPayload for the chunk values
+      require(off >= 0 && cnt >= 0 && off <= bytes.length.toLong - cnt,
+        s"chunk offset/count out of range: off=$off cnt=$cnt file=${bytes.length}B")
       val raw = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
       val data0 = compression match {
         case 8 => inflateBytes(raw, expected)

@@ -74,7 +74,7 @@ object StacTraversal {
     // checkpoint trades memory for parse passes — the right trade while
     // the traversal runs; it is job-scoped (GC'd with the RDD), not a
     // session cache.
-    val parsed = graft.api.Inputs.wide(docs)
+    val parsed = docs
       .select(col(urlCol).as("url"), from_json(col(jsonCol), docSchema).as("__j"))
       .localCheckpoint(true)
     val nav = parsed

@@ -153,6 +153,42 @@ object TextKernels {
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
   }
+
+  /**
+   * 16-bit SimHash over the token MULTISET in one pass (the q36 hot loop):
+   * bit b votes with the ASCII parity of hex char b of md5(token) —
+   * vote = ascii(h[b]) % 2 * 2 - 1 summed over token occurrences, bit set
+   * iff the sum is positive. ASCII parity, not nibble parity: '0'..'9' are
+   * 48..57 (parity = digit parity) but 'a'..'f' are 97..102 (parity
+   * flipped) — replicated exactly so the result is bit-identical to the
+   * explode + 16-aggregate pipeline it replaces (and to the DuckDB
+   * replay). One digest per token occurrence, no 32-char hex string, no
+   * 64x row explosion, no (doc) shuffle — the aggregation disappears from
+   * the plan entirely.
+   */
+  def simhash16(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](16)
+    val md = md5TL.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var b = 0
+      while (b < 16) {
+        val nib = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+        val ascii = if (nib < 10) '0' + nib else 'a' + nib - 10
+        votes(b) += (ascii % 2) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
 }
 
 /** Embedding kernels for the ANN/near-dup hot loops. */
@@ -239,6 +275,33 @@ case class ShingleMinMd5Expr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleMinMd5Expr =
     copy(left = l, right = r)
+}
+
+/**
+ * graft_simhash16(toks array<string>) → long
+ *
+ * One-pass 16-bit SimHash over the token multiset (see
+ * [[TextKernels.simhash16]]) — replaces q36's explode + 16-sum groupBy
+ * with a single codegen'd call per document (no shuffle in the plan).
+ */
+case class Simhash16Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernels.simhash16(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, toks =>
+      s"org.apache.spark.sql.graft.TextKernels.simhash16($toks)")
+
+  override protected def withNewChildInternal(c: Expression): Simhash16Expr =
+    copy(child = c)
 }
 
 /**
