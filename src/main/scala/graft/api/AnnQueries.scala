@@ -235,7 +235,7 @@ object AnnQueries {
     // refine after
     "q42_neardup_embedding" -> { (s, dir) =>
       import s.implicits._
-      val emb = Inputs.parquet(s, s"$dir/embeddings.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         .withColumn("vn", sqrt(dot(col("v"), col("v"))))
       // checkpoint the SIGNATURE table: it feeds the bucket-count pass and
@@ -366,7 +366,7 @@ object AnnQueries {
 
     "q41_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
-      val emb = Inputs.parquet(s, s"$dir/embeddings.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       emb.withColumn("bucket", bucketCol($"v", 0, 8))
         .groupBy($"bucket")

@@ -26,17 +26,27 @@ import org.apache.spark.sql.functions._
 object RasterQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Round-6: direct column arithmetic instead of array + higher-order
+    // folds — aggregate/array_max/array_position are CodegenFallback and
+    // allocated a 3-element array per row to compute a 3-term fold; the
+    // flat expressions below evaluate in the SAME left-to-right IEEE order
+    // ((0.0 + b1) + b2) + b3 and first-match argmax, which is also exactly
+    // the oracle's formulation (0.0 + b1 + b2 + b3, GREATEST, CASE chain).
     "q20_bandmix" -> { (s, dir) =>
       import s.implicits._
+      val b1 = $"l_quantity"; val b2 = $"l_discount" * 100
+      val b3 = $"l_linenumber".cast("double")
+      val bsum = lit(0.0) + b1 + b2 + b3
+      val bmax = greatest(b1, b2, b3)
       graft.api.Inputs.parquet(s, s"$dir/lineitem.parquet")
-        .withColumn("bands", array($"l_quantity", $"l_discount" * 100, $"l_linenumber".cast("double")))
         .select(
           $"l_orderkey", $"l_linenumber",
-          aggregate($"bands", lit(0.0), (acc, x) => acc + x).as("band_sum"),
-          array_max($"bands").as("band_max"),
-          array_min($"bands").as("band_min"),
-          round(aggregate($"bands", lit(0.0), (acc, x) => acc + x) / 3.0, 6).as("band_avg"),
-          (array_position($"bands", array_max($"bands")) - 1).as("argmax_band"))
+          bsum.as("band_sum"),
+          bmax.as("band_max"),
+          least(b1, b2, b3).as("band_min"),
+          round(bsum / 3.0, 6).as("band_avg"),
+          (when(b1 === bmax, 1L).when(b2 === bmax, 2L).otherwise(3L) - 1)
+            .as("argmax_band"))
         .orderBy($"l_orderkey", $"l_linenumber")
     },
 

@@ -106,7 +106,7 @@ object TextQueries {
     // allocations (~4x on the sf0.1 corpus)
     "q35_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      Inputs.parquet(s, s"$dir/documents.parquet")
+      s.read.parquet(s"$dir/documents.parquet")
         .select(
           $"doc_id",
           substring(md5($"text"), 1, 16).as("fp_exact"),

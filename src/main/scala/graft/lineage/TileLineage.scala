@@ -101,11 +101,20 @@ object TileLineage {
     import spark.implicits._
 
     val done = completedTiles(spark, tableDir)
-    val allTiles = input.select($"tile_id").distinct().localCheckpoint(true)
-    val total = allTiles.count()
-    val todoTiles = allTiles.join(broadcast(done), Seq("tile_id"), "left_anti")
+    // ONE materialization carries the census: each distinct input tile
+    // flagged done/todo via a broadcast left join, then a single cached
+    // aggregation yields both counts — the previous two checkpoint + two
+    // count jobs per run (x2 runs in a resume check) were pure fixed
+    // overhead on the same rows (round-6, guide §2.4)
+    val flagged = input.select($"tile_id").distinct()
+      .join(broadcast(done.withColumn("__done", lit(true))), Seq("tile_id"), "left")
       .localCheckpoint(true)
-    val nTodo = todoTiles.count()
+    val counts = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(when($"__done".isNull, 1L).otherwise(0L)).as("todo")).head()
+    val total = counts.getLong(0)
+    val nTodo = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val todoTiles = flagged.filter($"__done".isNull).select($"tile_id")
 
     if (nTodo > 0) {
       val todo = input.join(broadcast(todoTiles), Seq("tile_id"), "left_semi")
