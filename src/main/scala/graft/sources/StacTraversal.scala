@@ -31,6 +31,12 @@ import org.apache.spark.sql.types._
  */
 object StacTraversal {
 
+  /** Page-count bound below which the rel=next chain resolves on the
+    * driver (one bounded collect of (url, prev) pairs — a few MB at the
+    * bound) instead of distributed pointer jumping; data-derived, like
+    * SpatialJoin's broadcast gate. */
+  private[sources] val PageChainDriverMax = 100000L
+
   /** Union facet of every STAC document kind the walk touches (catalog /
     * collection / FeatureCollection page / item): navigation fields, the
     * page `features` array, and the item fields themselves. ONE schema so
@@ -130,14 +136,47 @@ object StacTraversal {
       .select($"url", coalesce($"prev", $"url").as("head"))
       .localCheckpoint(true)
     val nPages = lab.count() // cheap: counts the just-checkpointed labels
-    val rounds = if (nPages <= 2) 1
-                 else 64 - java.lang.Long.numberOfLeadingZeros(nPages - 1)
-    for (_ <- 0 until rounds.toInt) {
-      lab = lab.as("a")
-        .join(lab.as("b").select($"url".as("hu"), $"head".as("hh")),
-              col("a.head") === col("hu"), "left")
-        .select(col("a.url").as("url"), coalesce($"hh", col("a.head")).as("head"))
-        .localCheckpoint()
+    if (nPages > 0 && nPages <= PageChainDriverMax) {
+      // SIZE-GATED driver resolution (round 6): the page table is one
+      // (url, prev) row per page — at this bound a few MB — and the
+      // measured cost of the distributed jump rounds on a SMALL chain set
+      // is almost pure driver planning + broadcast-build jobs (q70: ~12
+      // jobs and ~1.5 s wall for 48 pages). Collect once, follow prev
+      // pointers with memoization, parallelize the resolved labels back.
+      // Identical fixpoint: both resolve every page to its chain's first
+      // page. Past the gate (a 10^9-item catalog is ~2M pages) the
+      // log-round distributed jumping below takes over.
+      val rows = lab.collect()
+      val parent = new java.util.HashMap[String, String](rows.length * 2)
+      rows.foreach(r => parent.put(r.getString(0), r.getString(1)))
+      val root = new java.util.HashMap[String, String](rows.length * 2)
+      def resolve(u0: String): String = {
+        // iterative walk + path memoization (a recursive walk would
+        // overflow the stack on a chain near the gate)
+        val path = new scala.collection.mutable.ArrayBuffer[String]()
+        var u = u0
+        var r = root.get(u)
+        while (r == null) {
+          val p = parent.getOrDefault(u, u)
+          if (p == u) r = u
+          else { path += u; u = p; r = root.get(u) }
+        }
+        path.foreach(root.put(_, r))
+        root.put(u0, r)
+        r
+      }
+      lab = rows.map(r => (r.getString(0), resolve(r.getString(0))))
+        .toSeq.toDF("url", "head")
+    } else {
+      val rounds = if (nPages <= 2) 1
+                   else 64 - java.lang.Long.numberOfLeadingZeros(nPages - 1)
+      for (_ <- 0 until rounds.toInt) {
+        lab = lab.as("a")
+          .join(lab.as("b").select($"url".as("hu"), $"head".as("hh")),
+                col("a.head") === col("hu"), "left")
+          .select(col("a.url").as("url"), coalesce($"hh", col("a.head")).as("head"))
+          .localCheckpoint()
+      }
     }
     val searchPages = lab.join(firstPages, Seq("head"))
       .select($"url", $"collection_id")
