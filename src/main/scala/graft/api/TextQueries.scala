@@ -237,7 +237,7 @@ object TextQueries {
     // scale; no token list ever sits on the driver.
     "q59_oov_rate" -> { (s, dir) =>
       import s.implicits._
-      val toks = Inputs.parquet(s, s"$dir/documents.parquet")
+      val toks = s.read.parquet(s"$dir/documents.parquet")
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .localCheckpoint(true) // vocab build + probe both read it
       val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
@@ -261,7 +261,7 @@ object TextQueries {
       import s.implicits._
       val norm = trim(regexp_replace(
         regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
-      Inputs.parquet(s, s"$dir/documents.parquet")
+      s.read.parquet(s"$dir/documents.parquet")
         .select($"doc_id", md5(norm).as("nhash"))
         .groupBy($"nhash")
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_members"))
