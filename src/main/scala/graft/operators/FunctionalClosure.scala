@@ -75,16 +75,16 @@ object FunctionalClosure {
             f.as("a").join(frontier.as("b"), col("a.v") === col("b.u"))
               .select(lit(1).as("t"), col("a.u").as("u"), col("b.v").as("v")))
           .coalesce(baseParts))
-      val counts = both.groupBy(col("t")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nChunk = counts.getOrElse(0, 0L)
-      frontierN = counts.getOrElse(1, 0L)
-      if (nChunk == 0L) done = true // no path longer than 2^k exists
-      else {
-        total = total.union(both.filter(col("t") === 0).select(col("u"), col("v")))
-        frontier = both.filter(col("t") === 1).select(col("u"), col("v"))
-        done = frontierN == 0L
-      }
+      // termination needs ONLY the frontier count (a NARROW count over the
+      // cached blocks — no shuffle): frontier_{k+1} empty means no path of
+      // length >= 2^{k+1} exists, so every later chunk is empty too; the
+      // chunk just produced is already in `total` either way. (An empty
+      // chunk with a live frontier just means the longest path is exactly
+      // 2^k — the next round's frontier count ends the loop.)
+      frontierN = both.filter(col("t") === 1).count()
+      total = total.union(both.filter(col("t") === 0).select(col("u"), col("v")))
+      frontier = both.filter(col("t") === 1).select(col("u"), col("v"))
+      done = frontierN == 0L
       round += 1
     }
     require(done, s"closure did not converge in $maxRounds rounds " +
