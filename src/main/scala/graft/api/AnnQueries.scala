@@ -43,12 +43,19 @@ import org.apache.spark.sql.expressions.Window
  */
 object AnnQueries {
 
+  // Native codegen'd dot products (expressions.scala). Bit-identical to the
+  // `aggregate(zip_with(a, b, (x, y) => x * y), 0, (acc, x) => acc + x)`
+  // formulation they replaced (same left-to-right IEEE fold — pinned by
+  // DotProductSpec), but ONE static call per row: the HOF chain is
+  // CodegenFallback and allocated a zipped array + boxed accumulator per
+  // evaluation, which dominated every ANN query's task CPU (q43 measured
+  // ~30 task-sec for 5 s of real work at sf0.1).
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_d(a, b)
 
   /** Integer dot product (exact — no float associativity concerns). */
   private def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_l(a, b)
 
   val NumTables = 3
   val PlanesPerTable = 16

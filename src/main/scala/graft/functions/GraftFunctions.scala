@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, Simhash16Expr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, DotDoubleExpr, DotLongExpr, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, Simhash16Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -34,6 +34,12 @@ object GraftFunctions {
 
   def simhash16(toks: Column): Column =
     ColumnShim.column(Simhash16Expr(ColumnShim.expression(toks)))
+
+  def dot_d(a: Column, b: Column): Column =
+    ColumnShim.column(DotDoubleExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def dot_l(a: Column, b: Column): Column =
+    ColumnShim.column(DotLongExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -75,7 +81,13 @@ object GraftFunctions {
        arity("graft_minhash_band_sig", 2)(e => MinhashBandSigExpr(e(0), e(1))) _),
       (FunctionIdentifier("graft_simhash16"),
        new ExpressionInfo(classOf[Simhash16Expr].getName, "graft_simhash16"),
-       arity("graft_simhash16", 1)(e => Simhash16Expr(e(0))) _))
+       arity("graft_simhash16", 1)(e => Simhash16Expr(e(0))) _),
+      (FunctionIdentifier("graft_dot"),
+       new ExpressionInfo(classOf[DotDoubleExpr].getName, "graft_dot"),
+       arity("graft_dot", 2)(e => DotDoubleExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_idot"),
+       new ExpressionInfo(classOf[DotLongExpr].getName, "graft_idot"),
+       arity("graft_idot", 2)(e => DotLongExpr(e(0), e(1))) _))
   }
 
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */

@@ -202,6 +202,37 @@ object AnnKernels {
    * list_dot_product replay), but one allocation-free call per row instead
    * of `planes` zipped-array materializations.
    */
+  /**
+   * Left-to-right dot product over two EQUAL-LENGTH double arrays — the
+   * accumulation order is exactly `aggregate(zip_with(a, b, (x, y) => x*y),
+   * 0.0, (acc, x) => acc + x)`: s = ((0.0 + a0*b0) + a1*b1) + ..., so the
+   * result is bit-identical to the HOF pipeline it replaces (including NaN
+   * propagation), without the per-row zipped-array materialization and
+   * per-element boxing of the CodegenFallback ZipWith/ArrayAggregate chain.
+   * Callers own the equal-length invariant (64-dim vectors against 64-dim
+   * codebook rows everywhere this is used), like graft_jaccard owns
+   * sortedness.
+   */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Integer twin of [[dotD]] for quantized vectors (q44's exact Lloyd
+    * arithmetic): same left-to-right fold over longs. All call sites keep
+    * |a_i * b_i| * 64 far below 2^63 (documented at the codebook
+    * definitions), so wrap-vs-ANSI overflow semantics never diverge. */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   def hyperplaneBucket(v: ArrayData, table: Int, planes: Int): Long = {
     val n = v.numElements()
     var bucket = 0L
@@ -248,6 +279,60 @@ case class HyperplaneBucketExpr(first: Expression, second: Expression, third: Ex
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression): HyperplaneBucketExpr =
     copy(first = a, second = b, third = c)
+}
+
+/**
+ * graft_dot(a array<double>, b array<double>) → double
+ *
+ * Equal-length dot product with the exact `aggregate(zip_with(...))` fold
+ * order (see [[AnnKernels.dotD]]) — the per-row kernel of every ANN
+ * assignment/refine (q40-q44, q97, q102/q103/q108, the q42 cosine refine).
+ * The HOF formulation it replaces is CodegenFallback and allocates a zipped
+ * array per evaluation; this is one codegen'd static call.
+ */
+case class DotDoubleExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.AnnKernels.dotD($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDoubleExpr =
+    copy(left = l, right = r)
+}
+
+/**
+ * graft_idot(a array<bigint>, b array<bigint>) → bigint
+ *
+ * Integer twin of graft_dot for quantized vectors (see [[AnnKernels.dotL]]).
+ */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_idot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.AnnKernels.dotL($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLongExpr =
+    copy(left = l, right = r)
 }
 
 /**
