@@ -55,7 +55,11 @@ object TextQueries {
       Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
         .withColumn("n_tokens", size($"toks").cast("bigint"))
-        .withColumn("n_the", size(filter($"toks", t => t === "the")).cast("bigint"))
+        // native count (graft_count_eq): size(filter(toks, _ === "the"))
+        // is a CodegenFallback lambda eval + array allocation per row;
+        // DotProductSpec-style bit-equality pinned in TextKernelsSpec
+        .withColumn("n_the",
+          graft.functions.GraftFunctions.count_eq($"toks", lit("the")))
         .select(
           $"doc_id", $"n_tokens", $"n_the",
           round($"n_the".cast("double") / $"n_tokens", 6).as("the_ratio"),
@@ -76,17 +80,20 @@ object TextQueries {
         .orderBy($"lang")
     },
 
-    // the md5 array is hoisted to its own projection (q37's pattern):
-    // `mh` is referenced 4x below, which blocks CollapseProject from inlining
-    // the non-cheap transform — ONE md5 per distinct token, then 4 cheap
-    // array_min-of-substring passes over the shared array. sig_i =
-    // min over distinct tokens of md5(token)[8i .. 8i+8).
+    // sig_i = min over distinct tokens of md5(token)[8i .. 8i+8), all four
+    // windows from ONE native digest pass per token (graft_minhash_sigs4):
+    // lexicographic min on 8 lowercase hex chars == unsigned min on digest
+    // bytes [4i, 4i+4), so no 32-char hex intermediates and no four
+    // interpreted array_min/transform passes (TextKernelsSpec pins
+    // bit-equality against the exact md5/substring pipeline replaced; the
+    // DuckDB oracle still replays the original formulation).
     "q33_minhash_sigs" -> { (s, dir) =>
       import s.implicits._
       Inputs.parquet(s, s"$dir/documents.parquet")
-        .withColumn("mh", transform(array_distinct(split($"text", " ")), t => md5(t)))
+        .withColumn("mh4", graft.functions.GraftFunctions
+          .minhash_sigs4(array_distinct(split($"text", " "))))
         .select(col("doc_id") +: (0 until 4).map(i =>
-          array_min(transform($"mh", h => substring(h, i * 8 + 1, 8))).as(s"sig${i + 1}")): _*)
+          col(s"mh4.sig${i + 1}").as(s"sig${i + 1}")): _*)
         .orderBy(col("doc_id"))
     },
 
@@ -128,10 +135,11 @@ object TextQueries {
       // the token array is hoisted to its own projection: `toks` is
       // referenced 5x below, which blocks CollapseProject from inlining the
       // split — ONE split per doc, five filters over the shared array
+      // native marker count (graft_langid_score): one digest per token as
+      // before, but no 32-char hex/substring/isin tree per token and no
+      // interpreted ArrayFilter — bit-equality pinned in TextKernelsSpec
       val scoredCols = langs.map { l =>
-        size(filter($"toks",
-          t => substring(md5(concat(lit(s"$l|"), t)), 1, 1).isin("0", "1", "2", "3", "4")))
-          .cast("bigint").as(s"s_$l")
+        graft.functions.GraftFunctions.langid_score($"toks", lit(s"$l|")).as(s"s_$l")
       }
       val scored = Inputs.parquet(s, s"$dir/documents.parquet")
         .withColumn("toks", split($"text", " "))
@@ -156,8 +164,9 @@ object TextQueries {
           $"doc_id",
           size($"units").cast("bigint").as("n_units"),
           size(array_distinct($"units")).cast("bigint").as("n_distinct_units"),
-          aggregate($"units", lit(0L), (acc, u) => greatest(acc, length(u).cast("bigint")))
-            .as("max_unit_len"))
+          // native fold (graft_max_char_len): the aggregate/greatest chain
+          // is CodegenFallback; length() counts chars = numChars, replicated
+          graft.functions.GraftFunctions.max_char_len($"units").as("max_unit_len"))
         .orderBy($"doc_id")
     },
 
@@ -172,7 +181,8 @@ object TextQueries {
         .withColumn("toks", split($"text", " "))
         .withColumn("n_tokens", size($"toks").cast("bigint"))
         .withColumn("stop_ratio",
-          round(size(filter($"toks", t => t.isin(stops.map(lit): _*))).cast("double")
+          round(graft.functions.GraftFunctions
+                  .count_in($"toks", typedLit(stops)).cast("double")
                 / $"n_tokens", 6))
         .withColumn("alnum_ratio",
           round(length(regexp_replace($"text", "[^a-z0-9 ]", "")).cast("double")
@@ -447,23 +457,24 @@ object TextQueries {
     // the count map, so the shape holds at corpus scale.
     "q52_repetition_stats" -> { (s, dir) =>
       import s.implicits._
-      val toks = Inputs.parquet(s, s"$dir/documents.parquet")
-        .select($"doc_id", split($"text", " ").as("t"))
-        .localCheckpoint(true)
-      val base = toks.select($"doc_id", size($"t").as("n_tokens"),
-                             size(array_distinct($"t")).as("n_distinct"))
-      val bi = toks.select($"doc_id",
-          explode(when(size($"t") < 2, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), size($"t") - 1),
-              i => concat(element_at($"t", i), lit(" "), element_at($"t", i + 1))))).as("g"))
-        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
-      base.join(bi, "doc_id")
-        .select($"doc_id", $"n_tokens".cast("bigint").as("n_tokens"),
-                round(lit(1.0) - $"n_distinct".cast("double") / $"n_tokens", 6)
+      // ONE native pass per document (graft_repetition) computes all four
+      // repetition facts — the previous bigram explode took TWO hash-agg
+      // exchanges + a join to reduce (doc, bigram) counts back to one row
+      // per document, for per-doc state the kernel holds in a local map
+      // (guide §2.4: the aggregation disappears from the plan; tokens from
+      // split(text, ' ') cannot contain spaces, so bigram-string equality
+      // is exactly adjacent-pair equality — TextKernelsSpec pins the
+      // counts, and docs with < 2 tokens drop exactly like the empty
+      // explode did). No checkpoint needed: nothing is read twice.
+      Inputs.parquet(s, s"$dir/documents.parquet")
+        .select($"doc_id",
+          graft.functions.GraftFunctions.repetition_stats(split($"text", " ")).as("r"))
+        .filter($"r.n_tokens" >= 2)
+        .select($"doc_id", $"r.n_tokens".cast("bigint").as("n_tokens"),
+                round(lit(1.0) - $"r.n_distinct".cast("double") / $"r.n_tokens", 6)
                   .as("dup_tok_frac"),
-                $"top_bigram_n",
-                round($"top_bigram_n".cast("double") / $"n_bigrams", 6)
+                $"r.top_bigram_n".as("top_bigram_n"),
+                round($"r.top_bigram_n".cast("double") / $"r.n_bigrams", 6)
                   .as("top_bigram_frac"))
         .withColumn("flagged",
           $"dup_tok_frac" > 0.5 || $"top_bigram_frac" > 0.18)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, DotDoubleExpr, DotLongExpr, HyperplaneBucketExpr, JaccardSortedExpr, MinhashBandSigExpr, ShingleMinMd5Expr, Simhash16Expr, WindingContainsExpr}
+import org.apache.spark.sql.graft.{CellIdExpr, ColumnShim, CountEqExpr, CountInExpr, DotDoubleExpr, DotLongExpr, HyperplaneBucketExpr, JaccardSortedExpr, LangidScoreExpr, MaxCharLenExpr, MinhashBandSigExpr, MinhashSigs4Expr, RepetitionStatsExpr, ShingleMinMd5Expr, Simhash16Expr, WindingContainsExpr}
 
 /**
  * Public Column/SQL facade over graft's native Catalyst expressions
@@ -40,6 +40,24 @@ object GraftFunctions {
 
   def dot_l(a: Column, b: Column): Column =
     ColumnShim.column(DotLongExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def count_eq(toks: Column, needle: Column): Column =
+    ColumnShim.column(CountEqExpr(ColumnShim.expression(toks), ColumnShim.expression(needle)))
+
+  def count_in(toks: Column, set: Column): Column =
+    ColumnShim.column(CountInExpr(ColumnShim.expression(toks), ColumnShim.expression(set)))
+
+  def langid_score(toks: Column, prefix: Column): Column =
+    ColumnShim.column(LangidScoreExpr(ColumnShim.expression(toks), ColumnShim.expression(prefix)))
+
+  def max_char_len(toks: Column): Column =
+    ColumnShim.column(MaxCharLenExpr(ColumnShim.expression(toks)))
+
+  def repetition_stats(toks: Column): Column =
+    ColumnShim.column(RepetitionStatsExpr(ColumnShim.expression(toks)))
+
+  def minhash_sigs4(tset: Column): Column =
+    ColumnShim.column(MinhashSigs4Expr(ColumnShim.expression(tset)))
 
   /** Cell cover of a WKB geometry (generator shape: explode the result).
     * JTS parse + cover runs once per geometry row, not per joined row. */
@@ -87,7 +105,25 @@ object GraftFunctions {
        arity("graft_dot", 2)(e => DotDoubleExpr(e(0), e(1))) _),
       (FunctionIdentifier("graft_idot"),
        new ExpressionInfo(classOf[DotLongExpr].getName, "graft_idot"),
-       arity("graft_idot", 2)(e => DotLongExpr(e(0), e(1))) _))
+       arity("graft_idot", 2)(e => DotLongExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_count_eq"),
+       new ExpressionInfo(classOf[CountEqExpr].getName, "graft_count_eq"),
+       arity("graft_count_eq", 2)(e => CountEqExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_count_in"),
+       new ExpressionInfo(classOf[CountInExpr].getName, "graft_count_in"),
+       arity("graft_count_in", 2)(e => CountInExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_langid_score"),
+       new ExpressionInfo(classOf[LangidScoreExpr].getName, "graft_langid_score"),
+       arity("graft_langid_score", 2)(e => LangidScoreExpr(e(0), e(1))) _),
+      (FunctionIdentifier("graft_max_char_len"),
+       new ExpressionInfo(classOf[MaxCharLenExpr].getName, "graft_max_char_len"),
+       arity("graft_max_char_len", 1)(e => MaxCharLenExpr(e(0))) _),
+      (FunctionIdentifier("graft_repetition"),
+       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),
+       arity("graft_repetition", 1)(e => RepetitionStatsExpr(e(0))) _),
+      (FunctionIdentifier("graft_minhash_sigs4"),
+       new ExpressionInfo(classOf[MinhashSigs4Expr].getName, "graft_minhash_sigs4"),
+       arity("graft_minhash_sigs4", 1)(e => MinhashSigs4Expr(e(0))) _))
   }
 
   /** Register SQL names so `spark.sql("SELECT graft_cell_id(...)")` works. */

@@ -106,9 +106,12 @@ object TileLineage {
     // aggregation yields both counts — the previous two checkpoint + two
     // count jobs per run (x2 runs in a resume check) were pure fixed
     // overhead on the same rows (round-6, guide §2.4)
+    // LAZY checkpoint: the counts aggregation just below is the
+    // materializing action, so census staging + counting is ONE job (x2
+    // runs in a resume check); todoTiles then reads the cached blocks
     val flagged = input.select($"tile_id").distinct()
       .join(broadcast(done.withColumn("__done", lit(true))), Seq("tile_id"), "left")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val counts = flagged.agg(
       count(lit(1)).as("total"),
       sum(when($"__done".isNull, 1L).otherwise(0L)).as("todo")).head()
@@ -143,7 +146,9 @@ object TileLineage {
         .agg(count(lit(1)).as("rows"), first($"file_bytes").as("file_bytes"))
         .select($"tile_id", $"file", $"rows", $"file_bytes",
                 lit(attempt).as("attempt"), lit(now).as("completed_at_ms"))
-        .localCheckpoint(true)
+        // lazy: the manifest append below materializes it; the stats agg
+        // rereads the cached blocks instead of re-scanning the run dir
+        .localCheckpoint(false)
       records.coalesce(1)
         .write.mode(SaveMode.Append).parquet(s"$tableDir/$LineageDir")
       val agg = records.agg(countDistinct($"tile_id"), coalesce(sum($"rows"), lit(0L))).head()

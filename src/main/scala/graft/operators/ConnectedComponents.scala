@@ -53,7 +53,7 @@ object ConnectedComponents {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  import IterativeLoops.materializedLeaf
+  import IterativeLoops.{materializedLeaf, materializedLeafLazy}
 
   /** Edges per contraction partition (~64 MB of long pairs): the
     * contraction works on whatever partitioning the edge frame has, but
@@ -82,7 +82,9 @@ object ConnectedComponents {
     // shuffle of the edge list (LSH pair generators already emit this shape)
     val symRaw = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-    val sym = materializedLeaf(if (edgesDistinct) symRaw else symRaw.distinct())
+    // LAZY leaf: the count below (or, on the non-long path, loopLabels'
+    // first count) is the materializing action — staging + count in one job
+    val sym = materializedLeafLazy(if (edgesDistinct) symRaw else symRaw.distinct())
 
     val isLong = sym.schema.fields.forall(_.dataType == LongType)
     if (!isLong) return loopLabels(sym, maxRounds)
@@ -90,7 +92,7 @@ object ConnectedComponents {
     // ---- partition-local contraction (long ids) ----
     val spark = sym.sparkSession
     import spark.implicits._
-    val nSym = sym.count() // counts the just-checkpointed frame — cheap
+    val nSym = sym.count() // materializes the lazy leaf and counts, one job
     if (nSym == 0L) return loopLabels(sym, maxRounds)
     val parts = math.max(1L, math.min(sym.rdd.getNumPartitions.toLong,
       (nSym + ContractEdgesPerPart - 1) / ContractEdgesPerPart)).toInt
@@ -99,7 +101,10 @@ object ConnectedComponents {
     // saw. Deterministic: partition contents are deterministic and the
     // result map is a pure function of them (emission order is irrelevant
     // to the aggregations below).
-    val localMap = materializedLeaf(
+    // lazy leaf: materialized inside loopLabels' round-0 count (the whole
+    // contraction -> bridge -> round-0 chain is one job), then reread from
+    // cache by the final compose join
+    val localMap = materializedLeafLazy(
       sym.as[(Long, Long)].coalesce(parts).mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {
@@ -128,7 +133,7 @@ object ConnectedComponents {
     val bridge = localMap.join(minRoot, "id")
       .filter($"root" =!= $"r0")
       .select($"r0".as("u"), $"root".as("v"))
-    val symBridge = materializedLeaf(
+    val symBridge = materializedLeafLazy(
       bridge.union(bridge.select($"v".as("u"), $"u".as("v"))).distinct())
     val rootLbl = loopLabels(symBridge, maxRounds)
     // compose: a node's label is the component label of any of its local
@@ -143,8 +148,9 @@ object ConnectedComponents {
   /** The global min-label + pointer-jump loop over a MATERIALIZED symmetric
     * distinct edge frame (u, v); returns (id, lbl) for every node in it. */
   private def loopLabels(sym: DataFrame, maxRounds: Int): DataFrame = {
-    // round 0: lbl(v) = min(v, neighbors(v))
-    var lbl = materializedLeaf(
+    // round 0: lbl(v) = min(v, neighbors(v)) — lazy leaf, materialized by
+    // the count just below (one job for round 0 + its cardinality)
+    var lbl = materializedLeafLazy(
       sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("lbl")))
 
@@ -188,10 +194,12 @@ object ConnectedComponents {
         steps += 1
         round += 1
       }
-      // block boundary: ONE job materializes all chained rounds and severs
-      // the frame; ONE probe compares the block's LAST TWO rounds (labels
-      // only decrease, so a quiet final round IS the fixpoint).
-      val next = materializedLeaf(cur)
+      // block boundary: the change-probe count is the materializing action
+      // for the lazily-severed block (all chained rounds compute inside
+      // it) — ONE job per block for materialization AND the probe, which
+      // compares the block's LAST TWO rounds (labels only decrease, so a
+      // quiet final round IS the fixpoint).
+      val next = materializedLeafLazy(cur)
       val changed = next
         .join(prev.select(col("id").as("sid"), col("lbl").as("l0")),
               col("id") === col("sid"))

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
  */
 object FunctionalClosure {
 
-  import IterativeLoops.materializedLeaf
+  import IterativeLoops.materializedLeafLazy
 
   /** Frontier rows below which the per-round joins broadcast the frontier
     * (~64 MB of long pairs at the cap — far under the 8 GB relation cap). */
@@ -45,7 +45,11 @@ object FunctionalClosure {
 
   def ancestorPairs(edges: DataFrame, uCol: String, vCol: String,
                     maxRounds: Int = 48): DataFrame = {
-    val e = materializedLeaf(
+    // LAZY leaf: the frontier count below is the materializing action, so
+    // edge staging + the initial count are ONE job, and each round's
+    // chunk+frontier materialization fuses with its termination count the
+    // same way — the loop pays one job per round instead of two.
+    val e = materializedLeafLazy(
       edges.select(col(uCol).as("u"), col(vCol).as("v")).na.drop().distinct())
     // each chunk streams `total` (the union of all prior chunks) through a
     // broadcast join, so an uncoalesced chunk would inherit the SUM of all
@@ -68,19 +72,21 @@ object FunctionalClosure {
       // column, so the frontier broadcast builds once (ReuseExchange) and
       // the round costs one materialization + one count over cached blocks
       // instead of four separate jobs of fixed overhead each.
-      val both = materializedLeaf(
+      val both = materializedLeafLazy(
         f.as("a").join(total.as("b"), col("a.v") === col("b.u"))
           .select(lit(0).as("t"), col("a.u").as("u"), col("b.v").as("v"))
           .union(
             f.as("a").join(frontier.as("b"), col("a.v") === col("b.u"))
               .select(lit(1).as("t"), col("a.u").as("u"), col("b.v").as("v")))
           .coalesce(baseParts))
-      // termination needs ONLY the frontier count (a NARROW count over the
-      // cached blocks — no shuffle): frontier_{k+1} empty means no path of
-      // length >= 2^{k+1} exists, so every later chunk is empty too; the
-      // chunk just produced is already in `total` either way. (An empty
-      // chunk with a live frontier just means the longest path is exactly
-      // 2^k — the next round's frontier count ends the loop.)
+      // termination needs ONLY the frontier count — and since `both` is a
+      // LAZY leaf, this count IS the round's one job: it materializes the
+      // chunk+frontier blocks and returns the frontier cardinality
+      // together. frontier_{k+1} empty means no path of length >= 2^{k+1}
+      // exists, so every later chunk is empty too; the chunk just produced
+      // is already in `total` either way. (An empty chunk with a live
+      // frontier just means the longest path is exactly 2^k — the next
+      // round's frontier count ends the loop.)
       frontierN = both.filter(col("t") === 1).count()
       total = total.union(both.filter(col("t") === 0).select(col("u"), col("v")))
       frontier = both.filter(col("t") === 1).select(col("u"), col("v"))

@@ -27,4 +27,21 @@ object IterativeLoops {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /**
+   * Materialize-on-first-action variant: the lineage is severed NOW (the
+   * returned frame is a bare leaf over the checkpoint RDD, so the
+   * exponential-planning hazard above cannot occur), but the blocks cache
+   * inside the CALLER'S NEXT action — a fixpoint round that follows its
+   * materialization with a termination count pays ONE job for both instead
+   * of two (guide §7.3: on small per-round states the fixed per-job
+   * driver overhead dominates the loop; measured ~0.85 s of pure driver
+   * gap across q80's 32 jobs). The caller's first action must consume
+   * every partition fully — counts and non-short-circuiting joins qualify,
+   * limit-style actions do not.
+   */
+  def materializedLeafLazy(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(false)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 }

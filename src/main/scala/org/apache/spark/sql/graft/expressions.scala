@@ -154,6 +154,78 @@ object TextKernels {
     org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
   }
 
+  /** Count of elements equal to `needle` — replaces
+    * `size(filter(toks, t => t === needle))` (ArrayFilter is
+    * CodegenFallback: a lambda eval + result-array allocation per row for
+    * what is one binary-equality scan). Bit-identical for non-null
+    * elements (split() never yields null tokens). */
+  def countEq(toks: ArrayData, needle: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = toks.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) { if (toks.getUTF8String(i).equals(needle)) c += 1; i += 1 }
+    c
+  }
+
+  /** Count of elements contained in the (small, literal) `set` array —
+    * replaces `size(filter(toks, t => t.isin(set: _*)))`. Linear scan per
+    * token: the call sites pass single-digit stopword lists, where a scan
+    * beats any hash-set build-per-row. */
+  def countIn(toks: ArrayData, set: ArrayData): Long = {
+    val n = toks.numElements(); val k = set.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      var j = 0
+      var hit = false
+      while (j < k && !hit) { hit = t.equals(set.getUTF8String(j)); j += 1 }
+      if (hit) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** The q38 language-marker count: tokens t where hex(md5(prefix ++ t))
+    * starts with '0'..'4' — i.e. the digest's first nibble is <= 4 (hex
+    * chars are ordered like their nibbles). Replaces
+    * `size(filter(toks, t => substring(md5(concat(prefix, t)), 1, 1)
+    * .isin("0".."4")))`: one digest per token either way, but no 32-char
+    * hex materialization, no per-token substring/isin tree, one codegen'd
+    * call per document. */
+  def langidScore(toks: ArrayData, prefix: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = toks.numElements()
+    val md = md5TL.get()
+    val pfx = prefix.getBytes
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(pfx)
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      if (((d(0) >> 4) & 0xf) <= 4) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Max CHARACTER length over a string array, 0 for empty — replaces the
+    * `aggregate(units, 0L, (acc, u) => greatest(acc, length(u)))` fold
+    * (ArrayAggregate is CodegenFallback). length() on StringType counts
+    * characters (UTF8String.numChars), replicated exactly. */
+  def maxCharLen(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var m = 0L
+    var i = 0
+    while (i < n) {
+      val l = toks.getUTF8String(i).numChars().toLong
+      if (l > m) m = l
+      i += 1
+    }
+    m
+  }
+
   /**
    * 16-bit SimHash over the token MULTISET in one pass (the q36 hot loop):
    * bit b votes with the ASCII parity of hex char b of md5(token) —
@@ -188,6 +260,101 @@ object TextKernels {
     var b = 0
     while (b < 16) { if (votes(b) > 0) out |= 1L << b; b += 1 }
     out
+  }
+
+  /**
+   * The q52 repetition signals in ONE pass per document:
+   * (n_tokens, n_distinct, top_bigram_n, n_bigrams) — replacing an
+   * interpreted `array_distinct` + a bigram `transform(sequence)` explode
+   * whose per-(doc, bigram) counts took TWO hash-aggregation exchanges and
+   * a join to reduce back to one row per document. Tokens come from
+   * split(text, ' ') so they cannot contain spaces, hence bigram-string
+   * equality (t[i] + " " + t[i+1]) is exactly adjacent-pair equality and
+   * the in-memory count map reproduces the groupBy counts bit-for-bit.
+   * Per-document state is O(distinct tokens + distinct bigrams) — the same
+   * bound the exploded aggregation's hash map needed per (doc) partition
+   * slice, now freed per row instead of per partition.
+   */
+  def repetitionStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, n * 2))
+    var i = 0
+    while (i < n) { seen.add(toks.getUTF8String(i)); i += 1 }
+    var topBigram = 0L
+    val nBigrams = if (n >= 2) (n - 1).toLong else 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[Long, Long](math.max(16, n * 2))
+      // key bigrams by (index of first occurrence of t[i], same of t[i+1]):
+      // equal pairs of tokens map to equal keys and vice versa, without
+      // building a concatenated string per bigram
+      val firstIdx = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+        math.max(16, n * 2))
+      val ids = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        val prev = firstIdx.putIfAbsent(t, i)
+        ids(i) = if (prev == null) i else prev.intValue()
+        i += 1
+      }
+      i = 0
+      while (i < n - 1) {
+        val key = ids(i).toLong << 32 | ids(i + 1).toLong
+        val c = counts.getOrDefault(key, 0L) + 1L
+        counts.put(key, c)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seen.size(), topBigram, nBigrams))
+  }
+
+  /**
+   * The q33 4-window MinHash signature in one digest pass per distinct
+   * token: sig_i = min over tokens of hex chars [8i, 8i+8) of md5(token) —
+   * lexicographic min on 8 lowercase hex chars equals unsigned min on
+   * digest bytes [4i, 4i+4), tracked as four 32-bit minima and hex-encoded
+   * once at the end. Bit-identical to
+   * `array_min(transform(transform(tset, md5), h => substring(h, 8i+1, 8)))`
+   * without the per-token 32-char hex strings and the four interpreted
+   * array passes. Empty input yields null fields (array_min of empty).
+   */
+  def minhashSigs4(tset: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tset.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, null, null))
+    val md = md5TL.get()
+    val best = Array.fill(4)(-1L)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(tset.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var w = 0
+      while (w < 4) {
+        val v = ((d(4 * w) & 0xffL) << 24) | ((d(4 * w + 1) & 0xffL) << 16) |
+                ((d(4 * w + 2) & 0xffL) << 8) | (d(4 * w + 3) & 0xffL)
+        if (best(w) < 0 || v < best(w)) best(w) = v
+        w += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](4)
+    var w = 0
+    while (w < 4) {
+      val hex = new Array[Char](8)
+      var j = 0
+      while (j < 8) {
+        hex(j) = HexDigits(((best(w) >> (28 - 4 * j)) & 0xf).toInt)
+        j += 1
+      }
+      out(w) = org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 }
 
@@ -279,6 +446,172 @@ case class HyperplaneBucketExpr(first: Expression, second: Expression, third: Ex
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression): HyperplaneBucketExpr =
     copy(first = a, second = b, third = c)
+}
+
+/**
+ * graft_count_eq(toks array<string>, needle string) → bigint
+ *
+ * Count of array elements equal to `needle` (see [[TextKernels.countEq]]) —
+ * the q31 token-count hot loop.
+ */
+case class CountEqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_count_eq"
+
+  override protected def nullSafeEval(toks: Any, needle: Any): Any =
+    TextKernels.countEq(toks.asInstanceOf[ArrayData],
+      needle.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"org.apache.spark.sql.graft.TextKernels.countEq($t, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountEqExpr =
+    copy(left = l, right = r)
+}
+
+/**
+ * graft_count_in(toks array<string>, set array<string>) → bigint
+ *
+ * Count of array elements contained in the literal `set`
+ * (see [[TextKernels.countIn]]) — the q45 stopword-ratio hot loop.
+ */
+case class CountInExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_count_in"
+
+  override protected def nullSafeEval(toks: Any, set: Any): Any =
+    TextKernels.countIn(toks.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"org.apache.spark.sql.graft.TextKernels.countIn($t, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountInExpr =
+    copy(left = l, right = r)
+}
+
+/**
+ * graft_langid_score(toks array<string>, prefix string) → bigint
+ *
+ * The q38 language-marker count (see [[TextKernels.langidScore]]).
+ */
+case class LangidScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false), StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_langid_score"
+
+  override protected def nullSafeEval(toks: Any, prefix: Any): Any =
+    TextKernels.langidScore(toks.asInstanceOf[ArrayData],
+      prefix.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"org.apache.spark.sql.graft.TextKernels.langidScore($t, $p)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LangidScoreExpr =
+    copy(left = l, right = r)
+}
+
+/**
+ * graft_max_char_len(toks array<string>) → bigint
+ *
+ * Max character length over a string array, 0 for empty
+ * (see [[TextKernels.maxCharLen]]) — the q39 unit-length fold.
+ */
+case class MaxCharLenExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_max_char_len"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernels.maxCharLen(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.maxCharLen($t)")
+
+  override protected def withNewChildInternal(c: Expression): MaxCharLenExpr =
+    copy(child = c)
+}
+
+/**
+ * graft_repetition(toks array<string>)
+ *   → struct<n_tokens int, n_distinct int, top_bigram_n bigint, n_bigrams bigint>
+ *
+ * The q52 repetition signals in one pass (see
+ * [[TextKernels.repetitionStats]]) — replaces the bigram explode + two
+ * aggregation exchanges + join with a single projection.
+ */
+case class RepetitionStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = true),
+    StructField("n_distinct", IntegerType, nullable = true),
+    StructField("top_bigram_n", LongType, nullable = true),
+    StructField("n_bigrams", LongType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernels.repetitionStats(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.repetitionStats($t)")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
+/**
+ * graft_minhash_sigs4(tset array<string>)
+ *   → struct<sig1 string, sig2 string, sig3 string, sig4 string>
+ *
+ * The q33 4-window MinHash signature in one digest pass per token
+ * (see [[TextKernels.minhashSigs4]]); null fields for an empty array.
+ */
+case class MinhashSigs4Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType, containsNull = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig1", StringType), StructField("sig2", StringType),
+    StructField("sig3", StringType), StructField("sig4", StringType)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sigs4"
+
+  override protected def nullSafeEval(tset: Any): Any =
+    TextKernels.minhashSigs4(tset.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.sql.graft.TextKernels.minhashSigs4($t)")
+
+  override protected def withNewChildInternal(c: Expression): MinhashSigs4Expr =
+    copy(child = c)
 }
 
 /**

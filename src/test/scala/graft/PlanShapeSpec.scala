@@ -28,10 +28,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def count(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).length
 
-  test("q33: exactly ONE md5 evaluation per token (the round-2 regression)") {
-    // the 4 signature columns must share one hoisted md5 array — the
-    // optimized plan carries a single md5 call, not one per lambda
-    assert(count(optimized("q33_minhash_sigs"), "md5\\(") == 1)
+  test("q33: exactly ONE digest pass per token (the round-2 regression, now native)") {
+    // round 2 pinned ONE hoisted md5 array shared by the 4 signature
+    // columns; round 6 folds all four windows into the single native
+    // graft_minhash_sigs4 call, so the plan carries exactly one signature
+    // expression and NO md5/array_min decomposition at all
+    val p = optimized("q33_minhash_sigs")
+    assert(count(p, "graft_minhash_sigs4") == 1)
+    assert(count(p, "md5\\(") == 0)
+    assert(count(p, "array_min") == 0)
   }
 
   test("q35: the shingle fingerprint is the single native expression") {
